@@ -1,0 +1,85 @@
+"""MinHash-LSH candidate blocking (SURVEY.md J7/F14/O2).
+
+Reference: datasketch MinHashLSH at Jaccard 0.5, 128 perms, redis store,
+queried per-entity (`text_sim.py:181-224`). Engine: signatures +
+band keys computed JVM-side (functions.hashing), candidates from a
+sort-merge equi-join on ``(band, key)`` — broadcast-free by design (the
+north star names this join shape explicitly). No server, no driver loop.
+
+Scale: band-bucket join cost is Σ_bucket |e1_bucket|·|e2_bucket|. Hot
+buckets (stop-token-heavy names) are handled by ``max_bucket`` — buckets
+larger than the cap on either side are dropped (they carry near-zero
+signal and quadratic cost); dropped-bucket count is observable via
+``bucket_stats``. AQE skew-join splits the survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import explode_band_keys
+
+
+def minhash_candidates(
+    df1: DataFrame, df2: DataFrame, id_col: str, token_col: str,
+    num_perm: int = 128, bands: int = 32, rows: int = 4,
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Candidate pairs (src=id from df1, dst=id from df2) whose MinHash
+    band keys collide in ≥1 band. Distinct pairs, long-format."""
+    b1 = explode_band_keys(df1, id_col, token_col, num_perm, bands, rows)
+    b2 = explode_band_keys(df2, id_col, token_col, num_perm, bands, rows)
+    if max_bucket is not None:
+        b1 = _cap_buckets(b1, max_bucket)
+        b2 = _cap_buckets(b2, max_bucket)
+    left = b1.select(F.col(id_col).alias("src"), "band", "key")
+    right = b2.select(F.col(id_col).alias("dst"), "band", "key")
+    return left.join(right, ["band", "key"]).select("src", "dst").distinct()
+
+
+def _cap_buckets(bk: DataFrame, max_bucket: int) -> DataFrame:
+    counts = bk.groupBy("band", "key").count().where(F.col("count") <= max_bucket)
+    return bk.join(counts.select("band", "key"), ["band", "key"], "left_semi")
+
+
+def bucket_stats(df: DataFrame, id_col: str, token_col: str,
+                 num_perm: int = 128, bands: int = 32, rows: int = 4) -> DataFrame:
+    """Bucket-size distribution (skew observability; SURVEY.md G8-style
+    stats for the blocking stage)."""
+    bk = explode_band_keys(df, id_col, token_col, num_perm, bands, rows)
+    return (
+        bk.groupBy("band", "key").count()
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max_bucket"),
+            F.avg("count").alias("avg_bucket"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99_bucket"),
+        )
+    )
+
+
+def exact_jaccard_pairs(
+    df1: DataFrame, df2: DataFrame, id_col: str, token_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram/token Jaccard join via posting-list self-join —
+    the oracle-checkable counterpart of MinHash blocking (and the exact
+    dedup path for `documents`). Returns (src, dst, jaccard).
+
+    Pattern: explode tokens → join on token → count shared → sizes via
+    two small aggs → |A∩B| / (|A|+|B|−|A∩B|). One shuffle on token
+    (salt-able), one on the pair."""
+    t1 = df1.select(F.col(id_col).alias("src"), F.explode(F.array_distinct(F.col(token_col))).alias("tok"))
+    t2 = df2.select(F.col(id_col).alias("dst"), F.explode(F.array_distinct(F.col(token_col))).alias("tok"))
+    n1 = t1.groupBy("src").agg(F.count("*").alias("n_src"))
+    n2 = t2.groupBy("dst").agg(F.count("*").alias("n_dst"))
+    inter = t1.join(t2, "tok").groupBy("src", "dst").agg(F.count("*").alias("n_int"))
+    return (
+        inter.join(n1, "src").join(n2, "dst")
+        .withColumn(
+            "jaccard",
+            F.col("n_int") / (F.col("n_src") + F.col("n_dst") - F.col("n_int")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )

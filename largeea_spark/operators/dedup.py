@@ -1,0 +1,149 @@
+"""Document deduplication suite — training-data pipeline operators
+(round-1 instruction: first-class alongside SURVEY.md §2). Runs over the
+`documents` table (doc_id, text, lang, source, n_chars).
+
+Five strategies, each returning a decision the others can compose:
+  exact_duplicates     hash-groupBy on the full text (md5)
+  ngram_jaccard_pairs  word-n-gram shingles → exact Jaccard join
+  minhash_lsh_pairs    shingle → minhash → band → bucket join (O2 path)
+  simhash_pairs        64-bit simhash + hamming ≤ r within LSH chunks
+  embedding_near_dups  cosine top-k over an embedding column
+
+All JVM-side except the embedding path (Arrow kNN). Each has a
+``*_keep`` companion that picks one canonical survivor per duplicate
+cluster (min doc_id — deterministic), using connected components for
+the pairwise strategies so transitive duplicates collapse together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import explode_band_keys, hamming64, simhash64, word_ngrams
+from ..functions.names import tokenize_ws
+from .blocking import exact_jaccard_pairs
+from .canonical import canonical_ids
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(hash, n_dups, keep_id, doc_ids) per duplicated text."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Survivors after exact dedup: min doc_id per distinct text."""
+    w_keep = docs.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return docs.join(w_keep.select(id_col), id_col, "left_semi")
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col), word_ngrams(tokenize_ws(F.col(text_col)), n).alias("grams")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs (a < b)."""
+    t = _doc_tokens(docs, id_col, text_col, n)
+    pairs = exact_jaccard_pairs(t, t, id_col, "grams", threshold)
+    return pairs.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "jaccard"
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_perm: int = 128, bands: int = 16, rows: int = 8,
+                      verify_threshold: float | None = 0.8) -> DataFrame:
+    """Shingle → MinHash → band bucket join → (optional) exact-Jaccard
+    verification of candidates. (16, 8) bands ⇒ LSH threshold ≈0.71 —
+    the scale path for ≥0.8-Jaccard dedup."""
+    t = _doc_tokens(docs, id_col, text_col, n)
+    bk = explode_band_keys(t, id_col, "grams", num_perm, bands, rows)
+    left = bk.select(F.col(id_col).alias("a"), "band", "key")
+    right = bk.select(F.col(id_col).alias("b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    ta = t.select(F.col(id_col).alias("a"), F.col("grams").alias("ga"))
+    tb = t.select(F.col(id_col).alias("b"), F.col("grams").alias("gb"))
+    joined = cand.join(ta, "a").join(tb, "b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  n_chunks: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint; by pigeonhole, two
+    fingerprints within hamming r < n_chunks share ≥1 identical 16-bit
+    chunk → equi-join on (chunk_idx, chunk_value), verify hamming."""
+    fp = docs.select(
+        F.col(id_col), simhash64(tokenize_ws(F.col(text_col))).alias("fp")
+    )
+    chunk = lambda i: F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
+    keyed = fp.select(
+        id_col, "fp",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("ci"), chunk(i).alias("cv"))
+                            for i in range(n_chunks)])).alias("c"),
+    ).select(id_col, "fp", "c.ci", "c.cv")
+    a = keyed.select(F.col(id_col).alias("a"), F.col("fp").alias("fa"), "ci", "cv")
+    b = keyed.select(F.col(id_col).alias("b"), F.col("fp").alias("fb"), "ci", "cv")
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64("fa", "fb").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dups(embs: DataFrame, id_col: str = "vec_id",
+                        emb_col: str = "embedding", threshold: float = 0.95,
+                        k: int = 10) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column via blocked kNN.
+    sim column is true cosine (normalized inputs ⇒ (1+1−L2²)/2... we
+    convert: for unit vectors knn sim = 2cos−1 ⇒ cos = (sim+1)/2)."""
+    from .knn import knn_topk
+
+    e = embs.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    nn = knn_topk(e, e, k=k)
+    return (
+        nn.where(F.col("src") < F.col("dst"))
+        .withColumn("cosine", (F.col("sim") + 1.0) / 2.0)
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
+    )
+
+
+def dedup_keep_from_pairs(docs: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Survivors given near-dup pairs (a,b): connected components over
+    the pair graph; keep the min-id member of each cluster."""
+    cc = canonical_ids(pairs.select("a", "b"), docs, node_col=id_col)
+    keep = cc.groupBy("component").agg(F.min("node").alias(id_col))
+    return docs.join(keep.select(id_col), id_col, "left_semi")

@@ -1,0 +1,171 @@
+"""Blocked exact k-NN join over embedding DataFrames (SURVEY.md J9/T2).
+
+Reference: FAISS IndexFlat (squared-L2) over normalized embeddings,
+double-batched 50k queries × 500k index rows, similarity = ``1 − d²``
+(`text_utils.py:291-333`). For unit vectors that equals ``2·cos − 1``.
+
+Engine: block-nested-loop as a cogrouped Arrow job —
+  index side → B hash blocks; queries replicated to every block
+  (explode over block ids); per (block) cogroup: one numpy matmul +
+  argpartition top-k; then a global window top-k merges block results.
+Each block is bounded (≤ block_rows) so executor memory is bounded at
+any index size; query replication cost is B·|Q| rows — the same
+work/shape as the reference's index batching, but distributed.
+
+An LSH-bucketed ANN variant (`ann_topk_lsh`) trades recall for a
+candidate join instead of full replication — the 100TB path when B
+grows large.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .simops import DST, SIM, SRC
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def knn_topk(
+    query: DataFrame, index: DataFrame, k: int = 50,
+    id_col: str = "id", emb_col: str = "emb",
+    block_rows: int = 500_000, normalize: bool = True,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact top-k: returns (src=query id, dst=index id, sim=1−L2²).
+
+    ``n_blocks`` defaults to ceil(|index| / block_rows) — one numpy GEMM
+    per (query-partition × block).
+    """
+    if n_blocks is None:
+        n_idx = index.count()
+        n_blocks = max(1, -(-n_idx // block_rows))
+
+    q = query.select(F.col(id_col).alias("qid"), F.col(emb_col).alias("qemb"))
+    x = index.select(
+        F.col(id_col).alias("xid"),
+        F.col(emb_col).alias("xemb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    qrep = q.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))).withColumn(
+        "b", F.col("b").cast("int")
+    )
+
+    def score(left_it: pd.DataFrame, right_it: pd.DataFrame) -> pd.DataFrame:
+        if len(left_it) == 0 or len(right_it) == 0:
+            return pd.DataFrame({SRC: [], DST: [], SIM: []}).astype(
+                {SRC: "int64", DST: "int64", SIM: "float64"}
+            )
+        qm = _to_matrix(left_it["qemb"])
+        xm = _to_matrix(right_it["xemb"])
+        if normalize:
+            qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            xm /= np.maximum(np.linalg.norm(xm, axis=1, keepdims=True), 1e-12)
+        # sim = 1 − ||q−x||² = 1 − (|q|² + |x|² − 2 q·x)   (faiss parity)
+        dots = qm @ xm.T
+        qsq = (qm * qm).sum(axis=1)[:, None]
+        xsq = (xm * xm).sum(axis=1)[None, :]
+        sims = 1.0 - (qsq + xsq - 2.0 * dots)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(left_it["qid"].to_numpy(), kk)
+        cols = right_it["xid"].to_numpy()[part.ravel()]
+        vals = np.take_along_axis(sims, part, axis=1).ravel()
+        return pd.DataFrame({SRC: rows, DST: cols, SIM: vals})
+
+    per_block = (
+        qrep.groupBy("b")
+        .cogroup(x.groupBy("b"))
+        .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
+    )
+    if n_blocks == 1:
+        return per_block
+    from .simops import topk_per_row
+
+    return topk_per_row(per_block, k, SRC)
+
+
+def ann_topk_lsh(
+    query: DataFrame, index: DataFrame, k: int = 50,
+    id_col: str = "id", emb_col: str = "emb",
+    n_planes: int = 12, seed: int = 7, normalize: bool = True,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing: both sides
+    hashed to a signed-projection bucket; candidates scored only within
+    matching buckets (optionally ± ``probe_bits`` one-bit probes).
+
+    Candidate join on the bucket key is a plain sort-merge equi-join —
+    at 1e9+ rows this is the scale path (no query replication)."""
+    dims = len(query.select(emb_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dims))
+
+    def bucketize(role: str):
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                m = _to_matrix(pdf[emb_col])
+                if normalize:
+                    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                bits = (m @ planes.T) > 0
+                code = np.zeros(len(pdf), dtype=np.int64)
+                for i in range(n_planes):
+                    code |= bits[:, i].astype(np.int64) << i
+                base = pd.DataFrame({"id": pdf[id_col].to_numpy(), "bucket": code,
+                                     "emb": pdf[emb_col]})
+                if role == "q" and probe_bits > 0:
+                    frames = [base]
+                    for b in range(min(probe_bits, n_planes)):
+                        probe = base.copy()
+                        probe["bucket"] = probe["bucket"] ^ (1 << b)
+                        frames.append(probe)
+                    base = pd.concat(frames, ignore_index=True)
+                yield base
+
+        return fn
+
+    schema = f"id long, bucket long, emb array<{_elem_type(query, emb_col)}>"
+    qb = query.mapInPandas(bucketize("q"), schema=schema)
+    xb = index.mapInPandas(bucketize("x"), schema=schema)
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({SRC: [], DST: [], SIM: []}).astype(
+                {SRC: "int64", DST: "int64", SIM: "float64"}
+            )
+        qm = _to_matrix(left["emb"])
+        xm = _to_matrix(right["emb"])
+        if normalize:
+            qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            xm /= np.maximum(np.linalg.norm(xm, axis=1, keepdims=True), 1e-12)
+        sims = 1.0 - (
+            (qm * qm).sum(1)[:, None] + (xm * xm).sum(1)[None, :] - 2.0 * qm @ xm.T
+        )
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(left["id"].to_numpy(), kk)
+        cols = right["id"].to_numpy()[part.ravel()]
+        vals = np.take_along_axis(sims, part, axis=1).ravel()
+        return pd.DataFrame({SRC: rows, DST: cols, SIM: vals})
+
+    per_bucket = (
+        qb.groupBy("bucket")
+        .cogroup(xb.groupBy("bucket"))
+        .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
+    )
+    from .simops import coalesce_sum, topk_per_row
+
+    # probes can produce duplicate (src,dst) — keep the max-sim copy
+    dedup = per_bucket.groupBy(SRC, DST).agg(F.max(SIM).alias(SIM))
+    return topk_per_row(dedup, k, SRC)
+
+
+def _elem_type(df: DataFrame, emb_col: str) -> str:
+    t = dict(df.dtypes)[emb_col]
+    return "double" if "double" in t else "float"

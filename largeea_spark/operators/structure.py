@@ -1,0 +1,141 @@
+"""Structure channel: neighborhood embeddings via iterative DataFrame
+self-joins over the triple table (SURVEY.md L8/L9, M1-M9; north star:
+"GNN-style neighborhood embeddings computed as iterative DataFrame
+self-joins over the triple table").
+
+The reference trains RREA/GCN GNNs per METIS batch (`models/rrea/`).
+The engine's tested default is DETERMINISTIC, training-free relational
+propagation (the sandbox has no torch/TF; SURVEY.md §7.4.7 gates parity
+on metric tolerance, keeping propagation as the reproducible path):
+
+  h⁰(e)   = name embedding (functions.vectors hashed n-gram, or any
+            encoder honoring the id→array<float> contract)
+  hˡ⁺¹(e) = L2norm( hˡ(e) + Σ_{(e,r,t)} α·hˡ(t) + Σ_{(h,r,e)} α·hˡ(h) )
+
+i.e. one sym-normalized adjacency multiply per layer (L9 analogue,
+`models/rrea/utils.py:68-110`) with self-loop (L10). Train seeds are
+injected by AVERAGING each seed pair's two vectors (both sides move to
+the shared point — the propagation analogue of the shared-triple seed
+injection J4, `partition.py:160-172`).
+
+All math is join + posexplode + groupBy — whole-stage codegen, no UDF.
+Each layer localCheckpoints (◆ lineage hygiene, SURVEY.md §4.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.kg import KGPair
+
+
+def _norm_adj(triples: DataFrame) -> DataFrame:
+    """L9: undirected adjacency with D^-1/2 A D^-1/2 weights
+    (`models/rrea/utils.py:37-43`). Returns (i, j, w)."""
+    und = triples.select(F.col("src").alias("i"), F.col("dst").alias("j")).unionAll(
+        triples.select(F.col("dst").alias("i"), F.col("src").alias("j"))
+    ).groupBy("i", "j").agg(F.count("*").cast("double").alias("m"))
+    deg = und.groupBy("i").agg(F.sum("m").alias("d"))
+    dj = deg.select(F.col("i").alias("j"), F.col("d").alias("dj"))
+    return (
+        und.join(deg, "i").join(dj, "j")
+        .select("i", "j", (F.col("m") / F.sqrt(F.col("d") * F.col("dj"))).alias("w"))
+    )
+
+
+def _exploded(emb: DataFrame) -> DataFrame:
+    return emb.select("id", F.posexplode("emb").alias("pos", "x"))
+
+
+def _reassemble(flat: DataFrame) -> DataFrame:
+    return (
+        flat.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+        .select("id", F.col("px.x").alias("emb"))
+    )
+
+
+def propagate_embeddings(
+    triples: DataFrame, emb: DataFrame, n_layers: int = 2, alpha: float = 1.0,
+) -> DataFrame:
+    """n_layers of  h ← L2norm(h + α·Â h)  over (id, emb array<double>).
+
+    Flat (id, pos, x) representation end-to-end: the adjacency multiply
+    is a join on the node index + groupBy (id, pos) — two shuffles per
+    layer, both on keys Catalyst can reuse. Dim d multiplies row count,
+    not shuffle count (d≤128 here)."""
+    adj = _norm_adj(triples).localCheckpoint(eager=True)
+    flat = _exploded(emb.select("id", F.col("emb").cast("array<double>").alias("emb")))
+    for _ in range(n_layers):
+        msgs = (
+            adj.join(flat.select(F.col("id").alias("j"), "pos", "x"),
+                     adj.j == F.col("j"))
+            .drop("j")
+            .groupBy(F.col("i").alias("id"), "pos")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("mx"))
+        )
+        flat = (
+            flat.join(msgs, ["id", "pos"], "left")
+            .select("id", "pos",
+                    (F.col("x") + F.lit(alpha) * F.coalesce("mx", F.lit(0.0))).alias("x"))
+        )
+        # L2 row-normalize in flat form
+        norms = flat.groupBy("id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        flat = (
+            flat.join(norms, "id")
+            .select("id", "pos",
+                    F.when(F.col("nrm") > 0, F.col("x") / F.col("nrm"))
+                    .otherwise(F.col("x")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return _reassemble(flat)
+
+
+def inject_seeds(emb1: DataFrame, emb2: DataFrame, train: DataFrame
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Seed injection: each train pair (e1,e2) replaces both vectors by
+    their mean — the propagation analogue of triple sharing J4
+    (`partition.py:160-172`): seeds become identical anchors whose
+    signal spreads through both graphs."""
+    t = train.select("e1", "e2")
+    pairs = (
+        t.join(emb1.select(F.col("id").alias("e1"), F.col("emb").alias("a")), "e1")
+        .join(emb2.select(F.col("id").alias("e2"), F.col("emb").alias("b")), "e2")
+        .select("e1", "e2", F.zip_with("a", "b", lambda x, y: (x + y) / 2).alias("m"))
+    )
+    m1 = pairs.groupBy("e1").agg(F.first("m").alias("m")).select(
+        F.col("e1").alias("id"), "m"
+    )
+    m2 = pairs.groupBy("e2").agg(F.first("m").alias("m")).select(
+        F.col("e2").alias("id"), "m"
+    )
+
+    def merge(emb: DataFrame, mm: DataFrame) -> DataFrame:
+        return (
+            emb.join(mm, "id", "left")
+            .select("id", F.coalesce("m", F.col("emb")).alias("emb"))
+        )
+
+    return merge(emb1.select("id", F.col("emb").cast("array<double>").alias("emb")), m1), \
+        merge(emb2.select("id", F.col("emb").cast("array<double>").alias("emb")), m2)
+
+
+def structure_similarity(
+    pair: KGPair, base_emb1: DataFrame, base_emb2: DataFrame,
+    n_layers: int = 2, k: int = 50,
+) -> DataFrame:
+    """Phase-0 equivalent (`run_batched_ea` `main.py:58-88`) without
+    per-batch training: inject seeds → propagate both KGs → blocked
+    top-k kNN between the propagated spaces (J9, k=50
+    `text_utils.py:336-346`). Returns the (src, dst, sim) IR.
+
+    At DBP1M scale, run per partition batch (partition_kg) and fuse the
+    per-batch sims with simops.fuse — identical accumulation semantics
+    to `main.py:85` (A10)."""
+    train = pair.links.where(F.col("split") == "train")
+    e1, e2 = inject_seeds(base_emb1, base_emb2, train)
+    p1 = propagate_embeddings(pair.kg1.triples, e1, n_layers)
+    p2 = propagate_embeddings(pair.kg2.triples, e2, n_layers)
+    from .knn import knn_topk
+
+    return knn_topk(p1, p2, k=k)

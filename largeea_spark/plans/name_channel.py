@@ -1,0 +1,100 @@
+"""Name channel: string similarity (reference phase 3) + name-embedding
+similarity (phases 1-2) + semi-seed mining (phase 0 prologue).
+SURVEY.md §3.1, §3.2.
+
+Lifecycle parity (`main.py:301-336`):
+  phase 1-2: normalize names (P1, punc='') → encode → top-k kNN with
+             sim = 1−L2² on normalized vectors (J9) → sim table.
+  phase 3:   normalize (P1+P2) → underscore token sets (F4) →
+             MinHash-LSH candidates (J7) → Levenshtein ratio (F6/J10)
+             → sim table.
+  phase 0 prologue (`main.py:203-216`): fuse [global, string] with
+             weights [1.0, 0.05] → mutual argmax (W10) → semi seeds.
+
+Every stage returns the long-format sim IR (src, dst, sim) keyed by
+GLOBAL entity ids of the two KGs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.levenshtein import levenshtein_ratio
+from ..functions.names import normalize_name, underscore_token_set
+from ..functions.vectors import encode_names
+from ..operators import simops
+from ..operators.blocking import minhash_candidates
+from ..operators.knn import knn_topk
+from ..sources.kg import KGPair
+
+
+def entity_names(ent: DataFrame, punct_to_space: bool) -> DataFrame:
+    """(uri, id) → (id, name) with reference normalization order
+    (`text_sim.py:228`: prefix strip, then optional punct→space)."""
+    return ent.select(
+        F.col("id"), normalize_name(F.col("uri"), punct_to_space).alias("name")
+    )
+
+
+def string_similarity(
+    pair: KGPair, num_perm: int = 128, bands: int = 32, rows: int = 4,
+    restrict_to_test: bool = False,
+) -> DataFrame:
+    """Phase 3 (`sparse_string_sim`, `text_sim.py:227-243`):
+    MinHash-blocked Levenshtein-ratio sim between the two KGs' names.
+
+    ``restrict_to_test`` mirrors the reference's candidate-subspace
+    projection P5 (`main.py:302`, test-pair entities only)."""
+    n1 = entity_names(pair.kg1.ent, punct_to_space=True)
+    n2 = entity_names(pair.kg2.ent, punct_to_space=True)
+    if restrict_to_test:
+        test = pair.links.where(F.col("split") == "test")
+        n1 = n1.join(test.select(F.col("e1").alias("id")), "id", "left_semi")
+        n2 = n2.join(test.select(F.col("e2").alias("id")), "id", "left_semi")
+    t1 = n1.withColumn("toks", underscore_token_set("name"))
+    t2 = n2.withColumn("toks", underscore_token_set("name"))
+    cand = minhash_candidates(t1, t2, "id", "toks", num_perm, bands, rows)
+    scored = (
+        cand.join(n1.select(F.col("id").alias("src"), F.col("name").alias("n1")), "src")
+        .join(n2.select(F.col("id").alias("dst"), F.col("name").alias("n2")), "dst")
+        .select("src", "dst", levenshtein_ratio(F.col("n1"), F.col("n2")).alias("sim"))
+    )
+    return scored
+
+
+def name_embedding_similarity(
+    pair: KGPair, k: int = 50, dim: int = 64, ngram: int = 3,
+    restrict_to_test: bool = False,
+) -> DataFrame:
+    """Phases 1-2 (`main.py:301-320`): encoder + global top-k kNN.
+
+    Encoder is the deterministic hashed char-n-gram stand-in for BERT
+    max-pooling (`emb_loader.py:119-182`); same DataFrame contract, swap
+    freely. kNN sim = 1−L2² on normalized vectors (`text_utils.py:301`),
+    k=50 (`text_utils.py:311-313`)."""
+    n1 = entity_names(pair.kg1.ent, punct_to_space=False)
+    n2 = entity_names(pair.kg2.ent, punct_to_space=False)
+    if restrict_to_test:
+        test = pair.links.where(F.col("split") == "test")
+        n1 = n1.join(test.select(F.col("e1").alias("id")), "id", "left_semi")
+        n2 = n2.join(test.select(F.col("e2").alias("id")), "id", "left_semi")
+    e1 = encode_names(n1, "name", dim=dim, n=ngram)
+    e2 = encode_names(n2, "name", dim=dim, n=ngram)
+    return knn_topk(e1, e2, k=k)
+
+
+def fuse_name_sims(global_sim: DataFrame, string_sim: DataFrame,
+                   string_weight: float = 0.05) -> DataFrame:
+    """`main.py:350-354`: name = global + 0.05·string (A10/F11)."""
+    return simops.fuse([global_sim, string_sim], [1.0, string_weight])
+
+
+def semi_seeds(global_sim: DataFrame, string_sim: DataFrame,
+               weights: tuple = (1.0, 0.05)) -> DataFrame:
+    """Phase 0 prologue (`get_semi_link`, `main.py:203-216`): fuse the
+    name sims then keep mutual-argmax pairs (W10) as training seeds.
+    Returns DataFrame(e1, e2)."""
+    fused = simops.fuse([global_sim, string_sim], list(weights))
+    return simops.bi_mapping(fused).select(
+        F.col("src").alias("e1"), F.col("dst").alias("e2")
+    )

@@ -1,0 +1,137 @@
+"""KG-pair data model + TSV ingest (SURVEY.md §1.1, S1-S3, S5).
+
+Reference: ``EAData`` (`dataset.py:17-135`) holds two KGs (ent/rel dicts
++ int triples) and gold links with a first-20%-train split
+(`dataset.py:32,52-64`). Here each piece is a DataFrame:
+
+  ent{1,2}:    (uri string, id long)           — deterministic ids (A1)
+  rel{1,2}:    (uri string, id long)
+  triples{1,2}:(src long, rel long, dst long)
+  links:       (e1 long, e2 long, split string in {'train','test'})
+
+File layouts bound by the reference subclasses (OpenEAData
+`dataset.py:138-147`, LargeScaleEAData `dataset.py:150-155`):
+``rel_triples_{1,2}`` / ``{lang}_triples_{1,2}`` TSV s\\tp\\to and
+``ent_links`` TSV e1\\te2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.ids import assign_dense_ids, dict_encode
+
+TRIPLE_SCHEMA = "s string, p string, o string"
+LINK_SCHEMA = "u1 string, u2 string"
+
+
+@dataclass
+class KG:
+    ent: DataFrame      # (uri, id)
+    rel: DataFrame      # (uri, id)
+    triples: DataFrame  # (src, rel, dst) int-encoded
+
+
+@dataclass
+class KGPair:
+    kg1: KG
+    kg2: KG
+    links: DataFrame    # (e1, e2, split)
+
+
+def read_triples_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 scan half: raw TSV triples (`dataset.py:91-99`, utf-8)."""
+    return spark.read.csv(path, sep="\t", schema=TRIPLE_SCHEMA, quote="")
+
+
+def encode_graph(raw: DataFrame) -> KG:
+    """S1 encode half (`process_one_graph`, `dataset.py:91-100`): build
+    ent/rel dims with deterministic dense ids (A1) and int-encode the
+    triples via three joins (rel dim broadcast — vocabularies are small;
+    entity joins sort-merge, AQE-skew-safe)."""
+    ent = assign_dense_ids(
+        raw.select(F.col("s").alias("uri"))
+        .unionByName(raw.select(F.col("o").alias("uri")))
+        .where(F.col("uri").isNotNull())
+        .distinct(),
+        "uri",
+    )
+    rel = dict_encode(raw.select(F.col("p").alias("uri")), "uri")
+    es = ent.select(F.col("uri").alias("s"), F.col("id").alias("src"))
+    eo = ent.select(F.col("uri").alias("o"), F.col("id").alias("dst"))
+    er = F.broadcast(rel.select(F.col("uri").alias("p"), F.col("id").alias("rel")))
+    triples = (
+        raw.join(es, "s").join(eo, "o").join(er, "p").select("src", "rel", "dst")
+    )
+    return KG(ent=ent, rel=rel, triples=triples)
+
+
+def read_links_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 scan: gold links TSV in file order (`dataset.py:103-111`).
+
+    File order matters for the reference's first-20% train split
+    (`dataset.py:32`), so we attach a file-order index via zipWithIndex
+    (single-file TSV compatibility path; engine-native fixtures carry an
+    explicit ``idx`` column instead)."""
+    raw = spark.read.csv(path, sep="\t", schema=LINK_SCHEMA, quote="")
+    indexed = raw.rdd.zipWithIndex().map(lambda p: (*p[0], p[1]))
+    return spark.createDataFrame(indexed, "u1 string, u2 string, idx long")
+
+
+def encode_links(raw_links: DataFrame, ent1: DataFrame, ent2: DataFrame,
+                 train_ratio: float = 0.2) -> DataFrame:
+    """S2 encode + split (`process_link` `dataset.py:103-111`,
+    `ill` split `dataset.py:52-64`): join URIs to both ent dims; first
+    ``train_ratio`` fraction (by ``idx``) is train, rest test."""
+    e1 = ent1.select(F.col("uri").alias("u1"), F.col("id").alias("e1"))
+    e2 = ent2.select(F.col("uri").alias("u2"), F.col("id").alias("e2"))
+    enc = raw_links.join(e1, "u1").join(e2, "u2").select("e1", "e2", "idx")
+    n = enc.count()
+    cut = int(n * train_ratio)
+    return enc.withColumn(
+        "split", F.when(F.col("idx") < cut, F.lit("train")).otherwise(F.lit("test"))
+    ).drop("idx")
+
+
+def load_kg_pair(spark: SparkSession, triples1: str, triples2: str,
+                 links: str, train_ratio: float = 0.2) -> KGPair:
+    """Full OpenEA/LargeScaleEA-layout ingest (`dataset.py:138-155`)."""
+    kg1 = encode_graph(read_triples_tsv(spark, triples1))
+    kg2 = encode_graph(read_triples_tsv(spark, triples2))
+    lk = encode_links(read_links_tsv(spark, links), kg1.ent, kg2.ent, train_ratio)
+    return KGPair(kg1=kg1, kg2=kg2, links=lk)
+
+
+def save_eakit_format(pair: KGPair, out_dir: str, shift: bool = True) -> None:
+    """S5 export (`save_eakit_format` `dataset.py:66-85`, `dto.py:7-29`):
+    KG2 ids shifted by |ent1| (rels by |rel1|), sorted TSV files."""
+    n_ent1 = pair.kg1.ent.count()
+    n_rel1 = pair.kg1.rel.count()
+    e_shift = n_ent1 if shift else 0
+    r_shift = n_rel1 if shift else 0
+
+    def w(df: DataFrame, name: str):
+        df.coalesce(1).write.mode("overwrite").csv(f"{out_dir}/{name}", sep="\t")
+
+    w(pair.kg1.ent.select("id", "uri").orderBy("id"), "ent_ids_1")
+    w(
+        pair.kg2.ent.select((F.col("id") + e_shift).alias("id"), "uri").orderBy("id"),
+        "ent_ids_2",
+    )
+    w(pair.kg1.triples.orderBy("src", "rel", "dst"), "triples_1")
+    w(
+        pair.kg2.triples.select(
+            (F.col("src") + e_shift).alias("src"),
+            (F.col("rel") + r_shift).alias("rel"),
+            (F.col("dst") + e_shift).alias("dst"),
+        ).orderBy("src", "rel", "dst"),
+        "triples_2",
+    )
+    w(
+        pair.links.select("e1", (F.col("e2") + e_shift).alias("e2"), "split").orderBy(
+            "e1"
+        ),
+        "links",
+    )
