@@ -39,7 +39,8 @@ def _canonical_edges(edges: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     # neighbors both directions; for each u: m = min(N(u) ∪ {u});
-    # emit (v, m) for v in N(u) with v > u.
+    # emit (v, m) for v in N(u) with v > u. Since m ≤ u < v, the output
+    # edge (m, v) is already in canonical a<b order.
     nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -47,7 +48,7 @@ def _large_star(e: DataFrame) -> DataFrame:
     return (
         nbrs.join(m, "u")
         .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -81,7 +82,7 @@ def connected_components(
             e = e.localCheckpoint(eager=True)
         sig_row = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("a", "b")).alias("h"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         ).first()
         sig = (sig_row.n, sig_row.h)
         if sig == prev_sig:
@@ -89,10 +90,9 @@ def connected_components(
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    # converged: every edge is (node, root). Nodes may appear with their
-    # own id as root only implicitly — add singleton roots for roots.
-    members = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
-    roots = e.select(F.col("b").alias("node")).distinct().withColumn(
+    # converged: every edge is canonical (root, node) with root = a < b.
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    roots = e.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
     out = members.unionByName(roots)

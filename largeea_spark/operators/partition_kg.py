@@ -125,11 +125,18 @@ def _salt_oversized(labels1: DataFrame, labels2: DataFrame, train: DataFrame,
     """Split any part larger than ``cap`` (on either side) into
     ⌈max_size/cap⌉ salted subparts. Salt key = own id for non-seeds,
     KG1 partner id for KG2 seeds — train pairs stay co-located."""
+    # hash salting balances only in expectation — 1.3× headroom keeps the
+    # binomial tail under the cap (≥3σ at realistic sizes)
     sizes = (
         labels1.groupBy("part").count()
         .unionByName(labels2.groupBy("part").count())
         .groupBy("part").agg(F.max("count").alias("mx"))
-        .withColumn("n_sub", F.ceil(F.col("mx") / cap).cast("int"))
+        .withColumn(
+            "n_sub",
+            F.when(F.col("mx") <= cap, F.lit(1)).otherwise(
+                F.ceil(F.lit(1.3) * F.col("mx") / cap).cast("int")
+            ),
+        )
         .select("part", "n_sub")
     )
 
@@ -155,6 +162,35 @@ def _salt_oversized(labels1: DataFrame, labels2: DataFrame, train: DataFrame,
         "id"
     ).agg(F.min("skey").alias("skey"))
     return apply_salt(labels1, None), apply_salt(labels2, key2)
+
+
+def share_triples(pair: KGPair) -> tuple[DataFrame, DataFrame]:
+    """J4 (`share_triplets` `partition.py:160-172`; also
+    `models/wrapper.py:142-151`): triples whose head AND tail are both
+    train-linked get copied into the OTHER KG with counterpart ids,
+    deduplicated. Returns (triples1+, triples2+).
+
+    Spark shape: triples ⋈ links(on src) ⋈ links(on dst) → remap →
+    unionByName → dropDuplicates. Both joins are on entity id; the links
+    side is the small one → broadcast."""
+    train = pair.links.where(F.col("split") == "train").select("e1", "e2")
+    b = F.broadcast
+
+    def shared(triples: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        mh = b(train.select(F.col(from_col).alias("src"), F.col(to_col).alias("new_src")))
+        mt = b(train.select(F.col(from_col).alias("dst"), F.col(to_col).alias("new_dst")))
+        return (
+            triples.join(mh, "src").join(mt, "dst")
+            .select(F.col("new_src").alias("src"), "rel", F.col("new_dst").alias("dst"))
+        )
+
+    t1_plus = pair.kg1.triples.unionByName(
+        shared(pair.kg2.triples, "e2", "e1")
+    ).dropDuplicates()
+    t2_plus = pair.kg2.triples.unionByName(
+        shared(pair.kg1.triples, "e1", "e2")
+    ).dropDuplicates()
+    return t1_plus, t2_plus
 
 
 def place_triples(triples: DataFrame, parts: DataFrame) -> tuple[DataFrame, int]:

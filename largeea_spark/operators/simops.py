@@ -180,6 +180,69 @@ def csls_rescore(df: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def margin_mutual_pairs(df: DataFrame, th: float) -> DataFrame:
+    """W11 (`filter_mapping` `sampler.py:13-34`): mutual top-1 pairs
+    whose top1−top2 margin exceeds ``th`` in BOTH directions, one pair
+    per src and per dst. Returns (src, dst, sim)."""
+    def top2(by: str):
+        other = DST if by == SRC else SRC
+        w = Window.partitionBy(by).orderBy(F.col(SIM).desc(), F.col(other).asc())
+        t = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 2)
+        return (
+            t.groupBy(by)
+            .agg(
+                F.max_by(other, F.struct(F.col(SIM), (-F.col(other)).alias("n"))).alias("top1"),
+                F.max(SIM).alias("v1"),
+                F.min(SIM).alias("v2"),
+                F.count("*").alias("n"),
+            )
+            # rows with a single entry have no competitor: margin = v1
+            .withColumn("gap", F.when(F.col("n") >= 2, F.col("v1") - F.col("v2")).otherwise(F.col("v1")))
+        )
+
+    s2t = top2(SRC).select(
+        F.col(SRC), F.col("top1").alias(DST), F.col("v1").alias(SIM),
+        F.col("gap").alias("gap_s"),
+    )
+    t2s = top2(DST).select(
+        F.col("top1").alias(SRC), F.col(DST), F.col("gap").alias("gap_t")
+    )
+    return (
+        s2t.join(t2s, [SRC, DST])
+        .where((F.col("gap_s") >= th) & (F.col("gap_t") >= th))
+        .select(SRC, DST, SIM)
+    )
+
+
+def spspmm_pruned(a: DataFrame, b: DataFrame, softmax_by: str = SRC,
+                  eps: float = 0.01) -> DataFrame:
+    """L2 (`batch_spspmm` + filter_softmax, `utils.py:187-207`): spspmm
+    followed by a row-softmax threshold prune — keeps the product sparse
+    across iterative chains (O7). The reference batches rows to bound
+    memory; Spark partitions instead."""
+    prod = spspmm(a, b)
+    sm = sparse_softmax(prod, softmax_by).withColumnRenamed(SIM, "p")
+    return (
+        prod.join(sm.select(SRC, DST, "p"), [SRC, DST])
+        .where(F.col("p") >= eps)
+        .select(SRC, DST, SIM)
+    )
+
+
+def sinkhorn(df: DataFrame, n_iter: int = 5, eps: float = 1e-9) -> DataFrame:
+    """L6 (`sinkhorn_process` `text_sim.py:23-45`): alternating row/col
+    sum-normalization of a sparse nonnegative matrix (◆ iterative;
+    lineage truncated per round)."""
+    out = df
+    for i in range(n_iter):
+        for dim in (SRC, DST):
+            w = Window.partitionBy(dim)
+            out = out.withColumn(SIM, F.col(SIM) / (F.sum(SIM).over(w) + F.lit(eps)))
+        if (i + 1) % 2 == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
 def filter_by_candidates(df: DataFrame, cand_src: DataFrame, cand_dst: DataFrame,
                          src_id: str = "id", dst_id: str = "id") -> DataFrame:
     """P6: keep entries whose src AND dst are in candidate sets

@@ -68,9 +68,7 @@ def propagate_embeddings(
     flat = _exploded(emb.select("id", F.col("emb").cast("array<double>").alias("emb")))
     for _ in range(n_layers):
         msgs = (
-            adj.join(flat.select(F.col("id").alias("j"), "pos", "x"),
-                     adj.j == F.col("j"))
-            .drop("j")
+            adj.join(flat.select(F.col("id").alias("j"), "pos", "x"), "j")
             .groupBy(F.col("i").alias("id"), "pos")
             .agg(F.sum(F.col("w") * F.col("x")).alias("mx"))
         )

@@ -1,0 +1,149 @@
+"""End-to-end KG-construction + alignment pipeline with checkpointed
+phases (SURVEY.md §3; north rule: triple extraction → entity linking →
+canonicalization → graph materialize, resumable, with lineage).
+
+Phase graph (each phase = one StageStore checkpoint, resumable):
+
+  pages ──extract──▶ triples_surface          (S8 + mention detection)
+        └──────────▶ entity dim (dict-encode) (A1)
+  triples_surface ──encode──▶ triples         (S1 joins)
+  ent dims ──name channel──▶ sim_string, sim_embed   (phases 3, 1-2)
+  sim_* ──semi seeds──▶ seeds                 (phase 0 prologue)
+  triples+seeds ──structure──▶ sim_structure  (phase 0)
+  sims ──fuse──▶ sim_fused ──mutual argmax──▶ links
+  links ──connected components──▶ canonical ids
+  triples×canonical ──▶ kg_canonical (materialized, partitioned)
+
+Single-KG (web corpus) and two-KG (alignment benchmark) entry points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import evalx, simops
+from ..operators.canonical import canonical_ids
+from ..operators.ids import assign_dense_ids
+from ..sources.kg import KGPair, encode_graph, encode_links
+from ..sources.stage import StageStore
+from . import extract, name_channel
+
+
+def construct_kg_from_pages(
+    spark: SparkSession, pages: DataFrame, store: StageStore,
+    dedup_names: bool = True,
+) -> dict[str, DataFrame]:
+    """Web-corpus KG construction (north rule): extract → encode →
+    canonicalize → materialize. Returns the stage DataFrames."""
+    surface = store.checkpoint(
+        "triples_surface", lambda: extract.triples_for_parity(pages)
+    )
+    store.log_metrics("triples_surface", {"rows": surface.count()})
+
+    def build_ents():
+        names = surface.select(F.col("subj").alias("name")).unionByName(
+            surface.select(F.col("obj").alias("name"))
+        ).distinct()
+        return assign_dense_ids(names, "name")
+
+    ents = store.checkpoint("entities", build_ents)
+
+    def build_triples():
+        es = ents.select(F.col("name").alias("subj"), F.col("id").alias("src"))
+        eo = ents.select(F.col("name").alias("obj"), F.col("id").alias("dst"))
+        preds = assign_dense_ids(surface.select(F.col("pred").alias("name")).distinct(), "name")
+        ep = F.broadcast(preds.select(F.col("name").alias("pred"), F.col("id").alias("rel")))
+        return surface.join(es, "subj").join(eo, "obj").join(ep, "pred").select(
+            "src", "rel", "dst"
+        ).distinct()
+
+    triples = store.checkpoint("triples", build_triples)
+
+    def build_canonical():
+        if not dedup_names:
+            return ents.select(F.col("id").alias("node"), F.col("id").alias("component"))
+        # same-normalized-name edges → CC → canonical ids
+        from ..functions.names import remove_punct
+
+        norm = ents.select("id", F.lower(remove_punct(F.col("name"))).alias("norm"))
+        pairs = (
+            norm.alias("a").join(norm.alias("b"), "norm")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        )
+        return canonical_ids(pairs, ents, node_col="id")
+
+    canon = store.checkpoint("canonical", build_canonical)
+
+    def build_materialized():
+        c_src = canon.select(F.col("node").alias("src"), F.col("component").alias("c_src"))
+        c_dst = canon.select(F.col("node").alias("dst"), F.col("component").alias("c_dst"))
+        return (
+            triples.join(c_src, "src").join(c_dst, "dst")
+            .select(
+                F.col("c_src").alias("src"), "rel", F.col("c_dst").alias("dst")
+            )
+            .distinct()
+            .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(32)).cast("int"))
+        )
+
+    kg = store.checkpoint("kg_canonical", build_materialized, partition_by=["bucket"])
+    store.log_metrics("kg_canonical", {"rows": kg.count()})
+    return {"surface": surface, "entities": ents, "triples": triples,
+            "canonical": canon, "kg": kg}
+
+
+def align_kg_pair(
+    spark: SparkSession, pair: KGPair, store: StageStore,
+    knn_k: int = 50, string_weight: float = 0.05, use_structure: bool = True,
+    structure_layers: int = 2, emb_dim: int = 64,
+) -> dict:
+    """Two-KG alignment, reference phase order (`main.py:242-369`):
+    name channel (string+embedding) → semi seeds → structure channel →
+    fusion → eval. Each sim is a checkpointed stage (S4 analogue)."""
+    sim_string = store.checkpoint(
+        "sim_string", lambda: name_channel.string_similarity(pair)
+    )
+    sim_embed = store.checkpoint(
+        "sim_embed", lambda: name_channel.name_embedding_similarity(pair, k=knn_k, dim=emb_dim)
+    )
+    seeds = store.checkpoint(
+        "semi_seeds", lambda: name_channel.semi_seeds(sim_embed, sim_string)
+    )
+
+    sims = {"string": sim_string, "embed": sim_embed}
+    if use_structure:
+        def build_structure():
+            from ..functions.vectors import encode_names
+            from ..operators.structure import structure_similarity
+
+            n1 = name_channel.entity_names(pair.kg1.ent, punct_to_space=False)
+            n2 = name_channel.entity_names(pair.kg2.ent, punct_to_space=False)
+            e1 = encode_names(n1, "name", dim=emb_dim)
+            e2 = encode_names(n2, "name", dim=emb_dim)
+            # train = gold train ∪ mined semi seeds (`main.py:284-286`)
+            train = pair.links.where(F.col("split") == "train").select("e1", "e2")
+            boosted = KGPair(
+                kg1=pair.kg1, kg2=pair.kg2,
+                links=train.unionByName(seeds).distinct().withColumn("split", F.lit("train")),
+            )
+            return structure_similarity(boosted, e1.select("id", "emb"),
+                                        e2.select("id", "emb"),
+                                        n_layers=structure_layers, k=knn_k)
+
+        sims["structure"] = store.checkpoint("sim_structure", build_structure)
+
+    def build_fused():
+        name_sim = simops.fuse([sim_embed, sim_string], [1.0, string_weight])
+        if use_structure:
+            return simops.fuse([sims["structure"], name_sim], [1.0, 1.0])
+        return name_sim
+
+    fused = store.checkpoint("sim_fused", build_fused)
+    test = pair.links.where(F.col("split") == "test")
+    n_src = (pair.kg1.ent.agg(F.max("id")).first()[0] or 0) + 1
+    metrics = {}
+    for name, s in {**sims, "fused": fused}.items():
+        metrics[name] = evalx.hits_and_mrr(s, test, ks=(1, 5, 50), n_src=n_src)
+        store.log_metrics(f"eval_{name}", metrics[name])
+    return {"sims": sims, "fused": fused, "seeds": seeds, "metrics": metrics}

@@ -104,6 +104,26 @@ def load_kg_pair(spark: SparkSession, triples1: str, triples2: str,
     return KGPair(kg1=kg1, kg2=kg2, links=lk)
 
 
+def read_aligned_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """S6 (`get_fasttext_aligned_vectors` `text_utils.py:159-174`):
+    fasttext-style text vectors `word v1 v2 ... vd` → (word string,
+    emb array<float>). First line (count dim header) is dropped by the
+    size filter; all parsing JVM-side."""
+    raw = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        raw.select(
+            F.element_at(parts, 1).alias("word"),
+            F.slice(parts, 2, 100000).alias("rest"),
+        )
+        .where(F.size("rest") > 2)
+        .select(
+            "word",
+            F.transform(F.col("rest"), lambda x: x.cast("float")).alias("emb"),
+        )
+    )
+
+
 def save_eakit_format(pair: KGPair, out_dir: str, shift: bool = True) -> None:
     """S5 export (`save_eakit_format` `dataset.py:66-85`, `dto.py:7-29`):
     KG2 ids shifted by |ent1| (rels by |rel1|), sorted TSV files."""
