@@ -497,6 +497,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_triple_parity"] = web_triple_parity
 
+    def margin_mutual_acctbal(spark, sf):  # W11 margin-gap mutual pairs
+        from largeea_spark.operators.simops import margin_mutual_pairs
+
+        return margin_mutual_pairs(_acctbal_sim(spark, sf), th=10.0).select(
+            "src", "dst", F.round("sim", 6).alias("sim")
+        )
+
+    q["margin_mutual_acctbal"] = margin_mutual_acctbal
+
+    def sinkhorn_orders(spark, sf):  # L6 two sinkhorn iterations
+        from largeea_spark.operators.simops import sinkhorn
+
+        m = _t(spark, sf, "lineitem").groupBy(
+            F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+        ).agg(F.sum("l_quantity").alias("sim"))
+        out = sinkhorn(m, n_iter=2, eps=0.0)
+        return out.select("src", "dst", F.round("sim", 6).alias("p"))
+
+    q["sinkhorn_orders"] = sinkhorn_orders
+
     def cc_components(spark, sf):  # large-star/small-star CC
         from largeea_spark.operators.canonical import connected_components
         from largeea_spark.operators.dedup import ngram_jaccard_pairs
@@ -818,6 +838,69 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
     """
 
+    o["margin_mutual_acctbal"] = f"""
+        WITH sim AS ({_ACCTBAL_SIM_SQL}),
+        s AS (SELECT src, dst, sim,
+                     row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk,
+                     count(*) OVER (PARTITION BY src) AS n,
+                     max(sim) OVER (PARTITION BY src) AS v1,
+                     min(CASE WHEN rk2 <= 2 THEN sim END) OVER (PARTITION BY src) AS v2
+              FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk2 FROM sim)
+              WHERE rk2 <= 2),
+        s2t AS (SELECT src, dst, sim,
+                       CASE WHEN n >= 2 THEN v1 - v2 ELSE v1 END AS gap_s
+                FROM s WHERE rk = 1),
+        t AS (SELECT src, dst,
+                     row_number() OVER (PARTITION BY dst ORDER BY sim DESC, src ASC) AS rk,
+                     count(*) OVER (PARTITION BY dst) AS n,
+                     max(sim) OVER (PARTITION BY dst) AS v1,
+                     min(CASE WHEN rk2 <= 2 THEN sim END) OVER (PARTITION BY dst) AS v2
+              FROM (SELECT *, row_number() OVER (PARTITION BY dst ORDER BY sim DESC, src ASC) AS rk2 FROM sim)
+              WHERE rk2 <= 2),
+        t2s AS (SELECT src, dst,
+                       CASE WHEN n >= 2 THEN v1 - v2 ELSE v1 END AS gap_t
+                FROM t WHERE rk = 1)
+        SELECT s2t.src, s2t.dst, round(s2t.sim, 6)::DOUBLE AS sim
+        FROM s2t JOIN t2s ON s2t.src = t2s.src AND s2t.dst = t2s.dst
+        WHERE gap_s >= 10.0 AND gap_t >= 10.0
+    """
+
+    o["sinkhorn_orders"] = """
+        WITH m AS (SELECT l_orderkey AS src, l_suppkey AS dst,
+                          sum(l_quantity) AS sim
+                   FROM lineitem GROUP BY 1, 2),
+        i1r AS (SELECT src, dst, sim / sum(sim) OVER (PARTITION BY src) AS sim FROM m),
+        i1c AS (SELECT src, dst, sim / sum(sim) OVER (PARTITION BY dst) AS sim FROM i1r),
+        i2r AS (SELECT src, dst, sim / sum(sim) OVER (PARTITION BY src) AS sim FROM i1c),
+        i2c AS (SELECT src, dst, sim / sum(sim) OVER (PARTITION BY dst) AS sim FROM i2r)
+        SELECT src, dst, round(sim, 6)::DOUBLE AS p FROM i2c
+    """
+
+    o["cc_components"] = f"""
+        WITH base AS ({_DOC_GRAMS}),
+        post AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+        sizes AS (SELECT doc_id, len(grams) AS n FROM base),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_int
+          FROM post a JOIN post b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON inter.a = sa.doc_id
+          JOIN sizes sb ON inter.b = sb.doc_id
+          WHERE n_int::DOUBLE / (sa.n + sb.n - n_int) >= 0.3),
+        und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        rec AS (
+          WITH RECURSIVE reach(node, r) AS (
+            SELECT a AS node, a AS r FROM und
+            UNION
+            SELECT und.a AS node, reach.r
+            FROM und JOIN reach ON und.b = reach.node
+            WHERE reach.r < und.a)
+          SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT node, component FROM rec
+    """
+
     # rows-only (no oracle): doc_minhash_lsh_pairs, doc_simhash_pairs,
-    # emb_knn_blocked, kg_string_alignment, web_triple_parity, cc_components
+    # emb_knn_blocked, kg_string_alignment, web_triple_parity
     return o

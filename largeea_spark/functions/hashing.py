@@ -49,6 +49,27 @@ def lsh_band_keys(sig_col: str | Column, bands: int = 32, rows: int = 4) -> Colu
     return F.array(*entries)
 
 
+def minhash_signature_agg(df: DataFrame, id_col: str, token_array_col: str,
+                          num_perm: int = 128) -> DataFrame:
+    """(id, tokens) → (id, sig array<bigint>) via explode + one groupBy
+    with ``num_perm`` min-aggregates — a SINGLE pass over the tokens
+    (the pure-expression `minhash_signature` traverses the array once
+    per permutation, which hurts on long documents). One shuffle on id;
+    map-side partial mins keep it small. Docs with zero tokens drop out
+    (they have no signature)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(token_array_col))).alias("tok")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    wide = toks.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
 def explode_band_keys(
     df: DataFrame, id_col: str, token_array_col: str,
     num_perm: int = 128, bands: int = 32, rows: int = 4,
@@ -57,11 +78,14 @@ def explode_band_keys(
 
     This is the block-key table; candidate pairs come from a self- or
     cross-join on (band, key) — a sort-merge equi-join, broadcast-free.
+    Signature computed with the single-pass aggregate form.
     """
     assert bands * rows == num_perm, "bands*rows must equal num_perm"
-    sig = minhash_signature(token_array_col, num_perm)
+    sig_df = minhash_signature_agg(df, id_col, token_array_col, num_perm)
     return (
-        df.select(F.col(id_col), F.explode(lsh_band_keys(sig, bands, rows)).alias("bk"))
+        sig_df.select(
+            F.col(id_col), F.explode(lsh_band_keys("sig", bands, rows)).alias("bk")
+        )
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
 
@@ -88,6 +112,28 @@ def simhash64(token_array_col: str | Column) -> Column:
     for c in bit_cols:
         out = out.bitwiseOR(c)
     return out
+
+
+def simhash64_agg(df: DataFrame, id_col: str, token_array_col: str) -> DataFrame:
+    """(id, tokens) → (id, fp bigint) single-pass SimHash: explode,
+    hash once per token, 64 sign-vote sums in one groupBy (map-side
+    partials), then bit reconstruction — avoids the 64 array traversals
+    of the pure-expression `simhash64` on long documents."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.col(token_array_col)).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    wide = toks.groupBy(id_col).agg(*votes)
+    fp = F.lit(0)
+    for b in range(64):
+        bit_val = F.lit(1 << b) if b < 63 else F.lit(-(2 ** 63))
+        fp = fp.bitwiseOR(F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0)))
+    return wide.select(F.col(id_col), fp.alias("fp"))
 
 
 def hamming64(a: str | Column, b: str | Column) -> Column:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import explode_band_keys, hamming64, simhash64, word_ngrams
+from ..functions.hashing import explode_band_keys, hamming64, word_ngrams
 from ..functions.names import tokenize_ws
 from .blocking import exact_jaccard_pairs
 from .canonical import canonical_ids
@@ -102,8 +102,11 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     """SimHash near-dup pairs: 64-bit fingerprint; by pigeonhole, two
     fingerprints within hamming r < n_chunks share ≥1 identical 16-bit
     chunk → equi-join on (chunk_idx, chunk_value), verify hamming."""
-    fp = docs.select(
-        F.col(id_col), simhash64(tokenize_ws(F.col(text_col))).alias("fp")
+    from ..functions.hashing import simhash64_agg
+
+    fp = simhash64_agg(
+        docs.select(F.col(id_col), tokenize_ws(F.col(text_col)).alias("toks")),
+        id_col, "toks",
     )
     chunk = lambda i: F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
     keyed = fp.select(

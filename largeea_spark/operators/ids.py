@@ -38,21 +38,48 @@ def dict_encode(df: DataFrame, key_col: str, id_col: str = "id") -> DataFrame:
 
 def assign_dense_ids(distinct_df: DataFrame, key_col: str, id_col: str = "id") -> DataFrame:
     """Dense 0-based ids by lexicographic key order, without a
-    single-reducer window.
+    single-reducer window and without a Python/RDD round-trip.
 
-    Pattern: sort (distributed range partitioning) → per-partition local
-    rank via ``spark_partition_id`` grouping — implemented with RDD
-    ``zipWithIndex`` which does exactly the count-then-offset two-pass and
-    preserves the sort order. This is the one deliberate RDD use in the
-    engine (per-partition prefix arithmetic; no DataFrame equivalent that
-    avoids the 1-reducer window).
+    Two-pass distributed dense-rank:
+      1. range-partition + sort by key (disjoint ordered ranges);
+      2. per-partition counts → tiny driver-side prefix sum →
+         broadcast offsets;
+      3. ``row_number`` windowed WITHIN each range partition + offset.
+
+    Correctness does not depend on the (sampled) range boundaries: ids
+    equal the global rank because ranges are disjoint and ordered —
+    deterministic at any parallelism (the local[8]-vs-local[32]
+    id-stability requirement, SURVEY.md §4.3.3). Stays entirely in
+    whole-stage codegen.
     """
+    from pyspark.sql import Window
+
     spark = distinct_df.sparkSession
-    sorted_df = distinct_df.orderBy(key_col)
-    schema = sorted_df.schema
-    indexed = sorted_df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    out_schema = schema.add(id_col, "long", False)
-    return spark.createDataFrame(indexed, out_schema)
+    n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # localCheckpoint pins the (sampled) range boundaries so the count
+    # pass and the id pass see identical partitioning
+    ranged = (
+        distinct_df.repartitionByRange(n_part, F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {r["__pid"]: r["cnt"] for r in
+              ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(key_col)
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(id_col, F.row_number().over(w) - 1 + F.col("__off"))
+        .drop("__pid", "__off")
+    )
 
 
 def encode_column(

@@ -35,60 +35,82 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
 def knn_topk(
     query: DataFrame, index: DataFrame, k: int = 50,
     id_col: str = "id", emb_col: str = "emb",
-    block_rows: int = 500_000, normalize: bool = True,
-    n_blocks: int | None = None,
+    block_rows: int = 100_000, query_block_rows: int = 25_000,
+    normalize: bool = True,
+    n_blocks: int | None = None, n_query_blocks: int | None = None,
+    gemm_chunk: int = 4096,
 ) -> DataFrame:
     """Exact top-k: returns (src=query id, dst=index id, sim=1−L2²).
 
-    ``n_blocks`` defaults to ceil(|index| / block_rows) — one numpy GEMM
-    per (query-partition × block).
-    """
+    2-D grid block-nested-loop: index hashed into ``n_blocks`` blocks,
+    queries into ``n_query_blocks``; each (query-block × index-block)
+    cell is one Arrow cogroup task whose GEMM is further chunked to
+    ``gemm_chunk`` query rows — per-task memory is
+    O(gemm_chunk · block_rows), independent of total size, so the same
+    plan runs at 1e9 rows. Replication cost: queries ×n_blocks,
+    index ×n_query_blocks (the FAISS double-batching shape,
+    `text_utils.py:291-333`, distributed)."""
     if n_blocks is None:
         n_idx = index.count()
         n_blocks = max(1, -(-n_idx // block_rows))
+    if n_query_blocks is None:
+        n_q = query.count()
+        n_query_blocks = max(1, -(-n_q // query_block_rows))
 
-    q = query.select(F.col(id_col).alias("qid"), F.col(emb_col).alias("qemb"))
+    q = query.select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("qemb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).cast("int").alias("qb"),
+    )
     x = index.select(
-        F.col(id_col).alias("xid"),
-        F.col(emb_col).alias("xemb"),
+        F.col(id_col).alias("xid"), F.col(emb_col).alias("xemb"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
     )
-    qrep = q.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))).withColumn(
-        "b", F.col("b").cast("int")
-    )
+    qrep = q.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    ).withColumn("b", F.col("b").cast("int"))
+    xrep = x.withColumn(
+        "qb", F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1)))
+    ).withColumn("qb", F.col("qb").cast("int"))
 
     def score(left_it: pd.DataFrame, right_it: pd.DataFrame) -> pd.DataFrame:
         if len(left_it) == 0 or len(right_it) == 0:
             return pd.DataFrame({SRC: [], DST: [], SIM: []}).astype(
                 {SRC: "int64", DST: "int64", SIM: "float64"}
             )
-        qm = _to_matrix(left_it["qemb"])
         xm = _to_matrix(right_it["xemb"])
         if normalize:
-            qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
             xm /= np.maximum(np.linalg.norm(xm, axis=1, keepdims=True), 1e-12)
-        # sim = 1 − ||q−x||² = 1 − (|q|² + |x|² − 2 q·x)   (faiss parity)
-        dots = qm @ xm.T
-        qsq = (qm * qm).sum(axis=1)[:, None]
         xsq = (xm * xm).sum(axis=1)[None, :]
-        sims = 1.0 - (qsq + xsq - 2.0 * dots)
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(left_it["qid"].to_numpy(), kk)
-        cols = right_it["xid"].to_numpy()[part.ravel()]
-        vals = np.take_along_axis(sims, part, axis=1).ravel()
-        return pd.DataFrame({SRC: rows, DST: cols, SIM: vals})
+        xid = right_it["xid"].to_numpy()
+        frames = []
+        for lo in range(0, len(left_it), gemm_chunk):
+            chunk = left_it.iloc[lo : lo + gemm_chunk]
+            qm = _to_matrix(chunk["qemb"])
+            if normalize:
+                qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            # sim = 1 − ||q−x||² = 1 − (|q|² + |x|² − 2 q·x)  (faiss parity)
+            sims = 1.0 - (
+                (qm * qm).sum(axis=1)[:, None] + xsq - 2.0 * (qm @ xm.T)
+            )
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            frames.append(pd.DataFrame({
+                SRC: np.repeat(chunk["qid"].to_numpy(), kk),
+                DST: xid[part.ravel()],
+                SIM: np.take_along_axis(sims, part, axis=1).ravel(),
+            }))
+        return pd.concat(frames, ignore_index=True)
 
-    per_block = (
-        qrep.groupBy("b")
-        .cogroup(x.groupBy("b"))
+    per_cell = (
+        qrep.groupBy("qb", "b")
+        .cogroup(xrep.groupBy("qb", "b"))
         .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
     )
     if n_blocks == 1:
-        return per_block
+        return per_cell
     from .simops import topk_per_row
 
-    return topk_per_row(per_block, k, SRC)
+    return topk_per_row(per_cell, k, SRC)
 
 
 def ann_topk_lsh(

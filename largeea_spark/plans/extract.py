@@ -104,6 +104,38 @@ def emit_triples(pages: DataFrame, predicates: list[str] | None = None) -> DataF
     )
 
 
+def emit_triples_verified(pages: DataFrame, predicates: list[str] | None = None) -> DataFrame:
+    """Single-pass extract + byte-identical verify + emit: extracts text
+    from html, RAISES if it differs from the golden ``text`` column
+    (driver invariant), and emits surface triples from the extracted
+    text — one scan, no second verification pass. The production path
+    for the timed pipeline; ``verify_byte_identical`` remains the
+    standalone audit."""
+    preds = predicates or PREDICATES
+    pat = re.compile(
+        r"(?m)([^.\n]+?)\s+(" + "|".join(re.escape(p) for p in preds) + r")\s+([^.\n]+?)\."
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"subj": [], "pred": [], "obj": [], "url": []}
+            for url, html, golden in zip(pdf["url"], pdf["html"], pdf["text"]):
+                text = extract_text_bytes(bytes(html) if html is not None else None)
+                if golden is not None and text != golden:
+                    raise ValueError(f"byte-identical extraction violated for {url}")
+                body = text.split("\n", 1)[-1]
+                for m in pat.finditer(body):
+                    out["subj"].append(m.group(1).strip())
+                    out["pred"].append(m.group(2))
+                    out["obj"].append(m.group(3).strip())
+                    out["url"].append(url)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html", "text").mapInPandas(
+        fn, schema="subj string, pred string, obj string, url string"
+    )
+
+
 def surface_to_name(col):
     """Display form → underscore name (inverse of the fixture's
     ``_display``)."""

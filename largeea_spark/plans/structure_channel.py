@@ -1,0 +1,90 @@
+"""Batched structure channel — the reference's phase 0
+(`run_batched_ea`, `main.py:58-88`; SURVEY.md §3.2) re-hosted on the
+DataFrame partitioner:
+
+  seed-aware partition (G4 analogue) → batch correspondence (G7) →
+  per batch: place triples (J2), propagate seed-injected embeddings
+  (L8/L9), blocked kNN within the batch (J9) → accumulate per-batch
+  sims (A10, `curr_sim += sim` `main.py:85`).
+
+Each batch touches only its partition's entities/triples, so executor
+memory per batch is bounded by the partition cap — the same memory
+contract METIS gives the reference's GPU. The driver loop is over ≤k
+batches of DataFrame jobs (◆); per-batch sims are unioned then
+coalesce-summed once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import simops
+from ..operators.partition_kg import correspondence, place_triples, seed_aware_partition
+from ..operators.structure import inject_seeds, propagate_embeddings
+from ..sources.kg import KGPair
+
+
+def batched_structure_similarity(
+    pair: KGPair, base_emb1: DataFrame, base_emb2: DataFrame,
+    k_parts: int = 4, n_layers: int = 2, knn_k: int = 50,
+    lp_iters: int = 3, cap: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Returns (sim IR accumulated over batches, stats).
+
+    stats: per-batch sizes + dropped-triple counts (J2 logging,
+    `sampler.py:212-227`)."""
+    parts1, parts2 = seed_aware_partition(pair, k_parts, n_iter=lp_iters, cap=cap)
+    parts1 = parts1.localCheckpoint(eager=True)
+    parts2 = parts2.localCheckpoint(eager=True)
+    corr = correspondence(pair.links, parts1, parts2, top_k=1)
+    batches = [(r.p1, r.p2) for r in corr.collect()]
+    # src parts with no train overlap pair with the same part id if present
+    covered = {p1 for p1, _ in batches}
+    all_p1 = [r.part for r in parts1.select("part").distinct().collect()]
+    for p in all_p1:
+        if p not in covered:
+            batches.append((p, p))
+
+    train = pair.links.where(F.col("split") == "train")
+    placed1, drop1 = place_triples(pair.kg1.triples, parts1)
+    placed2, drop2 = place_triples(pair.kg2.triples, parts2)
+    placed1 = placed1.localCheckpoint(eager=True)
+    placed2 = placed2.localCheckpoint(eager=True)
+
+    e1_seeded, e2_seeded = inject_seeds(base_emb1, base_emb2, train)
+    e1_seeded = e1_seeded.localCheckpoint(eager=True)
+    e2_seeded = e2_seeded.localCheckpoint(eager=True)
+
+    from ..operators.knn import knn_topk
+
+    per_batch_sims = []
+    stats = {"batches": [], "dropped_triples": drop1 + drop2}
+    for p1, p2 in sorted(batches):
+        ents_b1 = parts1.where(F.col("part") == p1).select("id")
+        ents_b2 = parts2.where(F.col("part") == p2).select("id")
+        t_b1 = placed1.where(F.col("part") == p1).drop("part")
+        t_b2 = placed2.where(F.col("part") == p2).drop("part")
+        emb_b1 = e1_seeded.join(ents_b1, "id", "left_semi")
+        emb_b2 = e2_seeded.join(ents_b2, "id", "left_semi")
+        prop1 = propagate_embeddings(t_b1, emb_b1, n_layers)
+        # entities with no in-batch triples keep their seeded embedding
+        prop1 = prop1.unionByName(
+            emb_b1.join(prop1.select("id"), "id", "left_anti")
+        )
+        prop2 = propagate_embeddings(t_b2, emb_b2, n_layers)
+        prop2 = prop2.unionByName(
+            emb_b2.join(prop2.select("id"), "id", "left_anti")
+        )
+        sim_b = knn_topk(prop1, prop2, k=knn_k)
+        per_batch_sims.append(sim_b.localCheckpoint(eager=True))
+        stats["batches"].append({"p1": int(p1), "p2": int(p2)})
+
+    fused = simops.coalesce_sum(_union_all(per_batch_sims))
+    return fused, stats
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

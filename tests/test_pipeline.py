@@ -33,6 +33,35 @@ def test_construct_kg_from_pages(spark, tmp_path):
     assert store.metrics().count() >= 2
 
 
+def test_batched_structure_channel(spark):
+    """run_batched_ea equivalent (`main.py:58-88`): per-partition batch
+    propagation + sim accumulation must stay usable vs the unbatched
+    channel (cross-partition pairs are lost by design — the reference
+    drops cross-batch triples/pairs too, `sampler.py:212-227`)."""
+    from largeea_spark.functions.vectors import encode_names
+    from largeea_spark.operators import evalx
+    from largeea_spark.plans.name_channel import entity_names
+    from largeea_spark.plans.structure_channel import batched_structure_similarity
+
+    t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=120, n_triples=360,
+                                               n_links=90)
+    kg1, kg2 = encode_graph(t1), encode_graph(t2)
+    lk = encode_links(links, kg1.ent, kg2.ent, 0.2)
+    pair = KGPair(kg1=kg1, kg2=kg2, links=lk)
+    n1 = entity_names(pair.kg1.ent, False)
+    n2 = entity_names(pair.kg2.ent, False)
+    e1 = encode_names(n1, "name", dim=32).select("id", "emb")
+    e2 = encode_names(n2, "name", dim=32).select("id", "emb")
+    sim, stats = batched_structure_similarity(
+        pair, e1, e2, k_parts=3, n_layers=1, knn_k=10
+    )
+    assert sim.count() > 0
+    assert len(stats["batches"]) >= 3
+    test = lk.where(F.col("split") == "test")
+    acc = evalx.accuracy(sim, test)
+    assert acc > 0.2, f"batched structure channel collapsed: {acc}"
+
+
 def test_align_kg_pair_full(spark, tmp_path):
     t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=150, n_triples=450,
                                                n_links=120)

@@ -64,7 +64,7 @@ def test_softmax_and_minmax(spark):
     for vals in rows.values():
         assert math.isclose(sum(vals), 1.0, rel_tol=1e-9)
     # softmax over stored entries only (torch sparse semantics)
-    want0 = np.exp([1.0, 2.0] - 2.0)
+    want0 = np.exp(np.array([1.0, 2.0]) - 2.0)
     want0 /= want0.sum()
     got0 = sorted(v for v in rows[0])
     assert np.allclose(sorted(want0), got0)
