@@ -517,6 +517,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sinkhorn_orders"] = sinkhorn_orders
 
+    def event_sessions(spark, sf):  # sessionization (window lag+cumsum)
+        from largeea_spark.operators.events import sessionize
+
+        ev = _t(spark, sf, "events")
+        s = sessionize(ev, gap_minutes=30.0)
+        return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+
+    q["event_sessions"] = event_sessions
+
+    def event_asof_purchase(spark, sf):  # as-of join (no native Spark op)
+        from largeea_spark.operators.events import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        out = asof_join(clicks, purchases, "user_id", "ts", ["purchase_value"])
+        return out.select(
+            "event_id", "user_id",
+            F.round("value", 6).alias("click_value"),
+            F.round("purchase_value_asof", 6).alias("last_purchase_value"),
+        )
+
+    q["event_asof_purchase"] = event_asof_purchase
+
+    def cube_rollup_orders(spark, sf):  # grouping-sets coverage
+        o = _t(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n", "total",
+            )
+        )
+
+    q["cube_rollup_orders"] = cube_rollup_orders
+
+    def eval_hits_mrr(spark, sf):  # W4/W6: Hits@k + truncated MRR
+        from largeea_spark.operators import simops
+
+        sim = _acctbal_sim(spark, sf)
+        n_supp = _t(spark, sf, "supplier").count()
+        n_cust = _t(spark, sf, "customer").count()
+        gold = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") % n_supp).alias("dst"),
+        )
+        kmax = 10
+        ranked = simops.rank_per_row(simops.topk_per_row(sim, kmax, "src"), "src")
+        joined = gold.join(ranked.select("src", "dst", "rank"), ["src", "dst"], "left")
+        fail = int(n_cust / 2)
+        rank0 = F.coalesce(F.col("rank") - 1, F.lit(fail))
+        return joined.agg(
+            F.round(F.avg(1.0 / (rank0 + 1)), 6).alias("mrr"),
+            F.round(F.avg(F.when(F.col("rank") <= 1, 1.0).otherwise(0.0)), 6).alias("hits1"),
+            F.round(F.avg(F.when(F.col("rank") <= 5, 1.0).otherwise(0.0)), 6).alias("hits5"),
+            F.round(F.avg(F.when(F.col("rank") <= 10, 1.0).otherwise(0.0)), 6).alias("hits10"),
+            F.count("*").alias("n_links"),
+        )
+
+    q["eval_hits_mrr"] = eval_hits_mrr
+
+    def spmm_label_centroids(spark, sf):  # L3 spmm_dense path
+        from largeea_spark.operators.simops import spmm_dense
+
+        e = _t(spark, sf, "embeddings")
+        cnt = e.groupBy("label").agg(F.count("*").alias("n"))
+        a = e.join(cnt, "label").select(
+            F.col("label").cast("long").alias("src"),
+            F.col("vec_id").alias("dst"),
+            (1.0 / F.col("n")).alias("sim"),
+        )
+        emb = e.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        out = spmm_dense(a, emb)
+        return out.select(
+            F.col("id").alias("label"), F.posexplode("emb").alias("pos", "x")
+        ).select(
+            F.col("label").cast("int").alias("label"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round("x", 6).alias("centroid_x"),
+        )
+
+    q["spmm_label_centroids"] = spmm_label_centroids
+
     def cc_components(spark, sf):  # large-star/small-star CC
         from largeea_spark.operators.canonical import connected_components
         from largeea_spark.operators.dedup import ngram_jaccard_pairs
@@ -874,6 +969,80 @@ def oracle_sql() -> dict[str, str]:
         i2r AS (SELECT src, dst, sim / sum(sim) OVER (PARTITION BY src) AS sim FROM i1c),
         i2c AS (SELECT src, dst, sim / sum(sim) OVER (PARTITION BY dst) AS sim FROM i2r)
         SELECT src, dst, round(sim, 6)::DOUBLE AS p FROM i2c
+    """
+
+    o["event_sessions"] = """
+        WITH marked AS (
+          SELECT user_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                      THEN 1 ELSE 0 END AS new_s,
+                 ts
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked)
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 6)::DOUBLE AS session_value
+        FROM sess GROUP BY 1, 2
+    """
+
+    o["event_asof_purchase"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, ts, value AS purchase_value FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        SELECT c.event_id, c.user_id,
+               round(c.value, 6)::DOUBLE AS click_value,
+               round(p.purchase_value, 6)::DOUBLE AS last_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
+
+    o["cube_rollup_orders"] = """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*)::BIGINT AS n,
+               round(sum(o_totalprice), 4)::DOUBLE AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    o["eval_hits_mrr"] = f"""
+        WITH sim AS ({_ACCTBAL_SIM_SQL}),
+        ranked AS (
+          SELECT src, dst, rank FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+            FROM sim) WHERE rank <= 10),
+        gold AS (
+          SELECT c_custkey AS src,
+                 c_custkey % (SELECT count(*) FROM supplier) AS dst
+          FROM customer),
+        joined AS (
+          SELECT gold.src, gold.dst,
+                 coalesce(ranked.rank - 1,
+                          (SELECT (count(*) / 2)::BIGINT FROM customer)) AS rank0,
+                 ranked.rank AS rank
+          FROM gold LEFT JOIN ranked ON gold.src = ranked.src AND gold.dst = ranked.dst)
+        SELECT round(avg(1.0::DOUBLE / (rank0 + 1)), 6)::DOUBLE AS mrr,
+               round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits1,
+               round(avg(CASE WHEN rank <= 5 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits5,
+               round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits10,
+               count(*)::BIGINT AS n_links
+        FROM joined
+    """
+
+    o["spmm_label_centroids"] = """
+        SELECT label, (i - 1)::BIGINT AS pos,
+               round(avg(embedding[i]::DOUBLE), 6)::DOUBLE AS centroid_x
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY 1, 2
     """
 
     o["cc_components"] = f"""
