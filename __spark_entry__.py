@@ -447,6 +447,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_knn_blocked"] = emb_knn_blocked
 
+    def emb_ivf_ann(spark, sf):  # IVF approximate NN — rows-only
+        from largeea_spark.operators.knn import ivf_topk
+
+        e = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        out = ivf_topk(e, e, k=5, nlist=16, nprobe=4, sample_rows=5000)
+        return out.select("src", "dst", F.round("sim", 6).alias("sim"))
+
+    q["emb_ivf_ann"] = emb_ivf_ann
+
     def emb_label_centroids(spark, sf):  # A5 scatter-mean over arrays
         e = _t(spark, sf, "embeddings")
         flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))

@@ -188,6 +188,118 @@ def ann_topk_lsh(
     return topk_per_row(dedup, k, SRC)
 
 
+def _kmeans_lite(sample: np.ndarray, nlist: int, n_iter: int = 8,
+                 seed: int = 11) -> np.ndarray:
+    """Deterministic numpy Lloyd's k-means on a driver-side sample —
+    the IVF coarse quantizer (centroids are a tiny nlist×d matrix that
+    ships to executors as plan literals)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    centroids = sample[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    return centroids
+
+
+def ivf_topk(
+    query: DataFrame, index: DataFrame, k: int = 50,
+    id_col: str = "id", emb_col: str = "emb",
+    nlist: int = 64, nprobe: int = 8, sample_rows: int = 20_000,
+    normalize: bool = True, seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k (the 1e9-row scale path): a k-means coarse
+    quantizer partitions the index into ``nlist`` cells; each query
+    probes its ``nprobe`` nearest cells only — candidate work drops by
+    ~nlist/nprobe vs exact, recall controlled by nprobe (FAISS IVFFlat
+    semantics; same sim = 1−L2² scoring as knn_topk).
+
+    Centroids are trained on a deterministic driver-side sample
+    (smallest xxhash64(id) rows — reproducible at any parallelism)."""
+    samp_pdf = (
+        index.select(F.col(id_col), F.col(emb_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    samp = _to_matrix(samp_pdf[emb_col])
+    if normalize:
+        samp /= np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
+    centroids = _kmeans_lite(samp, nlist, seed=seed)
+
+    def assign(role: str):
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = _to_matrix(pdf[emb_col])
+                if normalize:
+                    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                d2 = (
+                    (m * m).sum(1)[:, None]
+                    + (centroids * centroids).sum(1)[None, :]
+                    - 2.0 * m @ centroids.T
+                )
+                if role == "x":
+                    yield pd.DataFrame({
+                        "id": pdf[id_col].to_numpy(), "cell": d2.argmin(1),
+                        "emb": pdf[emb_col],
+                    })
+                else:
+                    order = np.argsort(d2, axis=1)[:, :nprobe]
+                    yield pd.DataFrame({
+                        "id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                        "cell": order.ravel(),
+                        "emb": pdf[emb_col].repeat(nprobe).reset_index(drop=True),
+                    })
+
+        return fn
+
+    schema = f"id long, cell int, emb array<{_elem_type(index, emb_col)}>"
+    xa = index.mapInPandas(assign("x"), schema=schema)
+    qa = query.mapInPandas(assign("q"), schema=schema)
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({SRC: [], DST: [], SIM: []}).astype(
+                {SRC: "int64", DST: "int64", SIM: "float64"}
+            )
+        xm = _to_matrix(right["emb"])
+        if normalize:
+            xm /= np.maximum(np.linalg.norm(xm, axis=1, keepdims=True), 1e-12)
+        xsq = (xm * xm).sum(1)[None, :]
+        xid = right["id"].to_numpy()
+        frames = []
+        for lo in range(0, len(left), 4096):
+            chunk = left.iloc[lo: lo + 4096]
+            qm = _to_matrix(chunk["emb"])
+            if normalize:
+                qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            sims = 1.0 - ((qm * qm).sum(1)[:, None] + xsq - 2.0 * qm @ xm.T)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            frames.append(pd.DataFrame({
+                SRC: np.repeat(chunk["id"].to_numpy(), kk),
+                DST: xid[part.ravel()],
+                SIM: np.take_along_axis(sims, part, axis=1).ravel(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    per_cell = (
+        qa.groupBy("cell")
+        .cogroup(xa.groupBy("cell"))
+        .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
+    )
+    from .simops import topk_per_row
+
+    dedup = per_cell.groupBy(SRC, DST).agg(F.max(SIM).alias(SIM))
+    return topk_per_row(dedup, k, SRC)
+
+
 def _elem_type(df: DataFrame, emb_col: str) -> str:
     t = dict(df.dtypes)[emb_col]
     return "double" if "double" in t else "float"
