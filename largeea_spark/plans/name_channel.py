@@ -83,6 +83,70 @@ def name_embedding_similarity(
     return knn_topk(e1, e2, k=k)
 
 
+def token_level_similarity(
+    pair: KGPair, dim: int = 64, ngram: int = 3, token_k: int = 5,
+    restrict_to_test: bool = False, drop_stop_tokens: int | None = 25,
+) -> DataFrame:
+    """L4 (`sparse_semantic_sim`, `text_sim.py:112-141,247-262`):
+    TF-IDF-weighted token-level similarity — ``E1ᵀ · S_tok · E2`` where
+    E are tf-idf posting matrices and S_tok holds top-k token↔token
+    embedding similarities:
+
+        tokens ← whitespace tokens of normalized names (F3)
+        tf-idf posting DFs per KG (A4)
+        S_tok  ← blocked kNN over hashed token embeddings (J9, top-k)
+        sim    ← spspmm(spspmm(E1, S_tok), E2ᵀ)   (two L1 contractions)
+
+    Optionally drops the ``drop_stop_tokens`` highest-df tokens (U6,
+    `text_utils.py:63-89` high-freq + punct stop set)."""
+    from ..functions.vectors import encode_names
+    from ..operators import simops
+    from ..operators.knn import knn_topk
+    from ..operators.tfidf import stop_tokens, tf_idf
+
+    n1 = entity_names(pair.kg1.ent, punct_to_space=True)
+    n2 = entity_names(pair.kg2.ent, punct_to_space=True)
+    if restrict_to_test:
+        test = pair.links.where(F.col("split") == "test")
+        n1 = n1.join(test.select(F.col("e1").alias("id")), "id", "left_semi")
+        n2 = n2.join(test.select(F.col("e2").alias("id")), "id", "left_semi")
+    from ..functions.names import tokenize_ws
+
+    t1 = n1.select("id", tokenize_ws(F.col("name")).alias("toks"))
+    t2 = n2.select("id", tokenize_ws(F.col("name")).alias("toks"))
+    post1 = tf_idf(t1, "id", "toks")
+    post2 = tf_idf(t2, "id", "toks")
+    if drop_stop_tokens:
+        stops1 = stop_tokens(t1, "id", "toks", k=drop_stop_tokens).select("token")
+        stops2 = stop_tokens(t2, "id", "toks", k=drop_stop_tokens).select("token")
+        post1 = post1.join(stops1, "token", "left_anti")
+        post2 = post2.join(stops2, "token", "left_anti")
+
+    # token dictionaries + embeddings (hashed n-gram encoder, A6 contract)
+    from ..operators.ids import assign_dense_ids
+
+    v1 = assign_dense_ids(post1.select("token").distinct(), "token", "tid")
+    v2 = assign_dense_ids(post2.select("token").distinct(), "token", "tid")
+    e1 = encode_names(v1.withColumnRenamed("token", "name"), "name", dim=dim, n=ngram)
+    e2 = encode_names(v2.withColumnRenamed("token", "name"), "name", dim=dim, n=ngram)
+    s_tok = knn_topk(
+        e1.select(F.col("tid").alias("id"), "emb"),
+        e2.select(F.col("tid").alias("id"), "emb"),
+        k=token_k,
+    )
+    # clamp negatives (1−L2² can go below 0; reference token sim is top-1
+    # cosine-like weight — keep nonneg so spspmm stays a similarity)
+    s_tok = s_tok.withColumn("sim", F.greatest(F.col("sim"), F.lit(0.0)))
+
+    m1 = post1.join(v1, "token").select(
+        F.col("id").alias("src"), F.col("tid").alias("dst"), F.col("tf_idf").alias("sim")
+    )
+    m2 = post2.join(v2, "token").select(
+        F.col("tid").alias("src"), F.col("id").alias("dst"), F.col("tf_idf").alias("sim")
+    )
+    return simops.spspmm(simops.spspmm(m1, s_tok), m2)
+
+
 def fuse_name_sims(global_sim: DataFrame, string_sim: DataFrame,
                    string_weight: float = 0.05) -> DataFrame:
     """`main.py:350-354`: name = global + 0.05·string (A10/F11)."""

@@ -81,6 +81,17 @@ def test_semi_seed_precision(kg_pair):
     assert pr["pred"] > 50
 
 
+def test_token_level_similarity(kg_pair):
+    """L4 composite (`sparse_semantic_sim`): tf-idf × token-kNN × tf-idf
+    must align a solid fraction on its own (token-level channel)."""
+    pair, _ = kg_pair
+    sim = name_channel.token_level_similarity(pair, token_k=3)
+    test_links = pair.links.where(F.col("split") == "test")
+    acc = evalx.accuracy(sim, test_links)
+    assert sim.count() > 0
+    assert acc > 0.4, f"token-level channel acc={acc}"
+
+
 def test_exact_name_pairs_recalled(kg_pair):
     """Every exact-copy gold pair must appear in the blocked candidate
     set with ratio 1.0 (MinHash on identical token sets always collides)."""

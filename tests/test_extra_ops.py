@@ -100,12 +100,52 @@ def test_word_to_entity_embedding(spark):
     assert gmax[0] == [1.0, 2.0]
 
 
+def test_save_eakit_format(spark, tmp_path):
+    """S5 (`save_eakit_format` `dataset.py:66-85`): KG2 ids shifted by
+    |ent1|/|rel1|, sorted TSV files on disk."""
+    from largeea_spark.sources import fixtures
+    from largeea_spark.sources.kg import encode_graph, encode_links, save_eakit_format
+
+    t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=40, n_triples=120,
+                                               n_links=30)
+    kg1, kg2 = encode_graph(t1), encode_graph(t2)
+    lk = encode_links(links, kg1.ent, kg2.ent, 0.2)
+    pair = KGPair(kg1, kg2, lk)
+    out = str(tmp_path / "eakit")
+    save_eakit_format(pair, out)
+    ents2 = spark.read.csv(f"{out}/ent_ids_2", sep="\t", schema="id long, uri string")
+    n1 = kg1.ent.count()
+    assert ents2.agg(F.min("id")).first()[0] == n1  # shift applied
+    trip2 = spark.read.csv(f"{out}/triples_2", sep="\t",
+                           schema="src long, rel long, dst long")
+    assert trip2.agg(F.min("src")).first()[0] >= n1
+    lks = spark.read.csv(f"{out}/links", sep="\t",
+                         schema="e1 long, e2 long, split string")
+    assert lks.count() == 30 and lks.agg(F.min("e2")).first()[0] >= n1
+
+
 def test_read_aligned_vectors(spark, tmp_path):
     p = tmp_path / "vecs.txt"
     p.write_text("2 3\nhello 0.1 0.2 0.3\nworld 1.0 -1.0 0.5\n")
     got = {r.word: r.emb for r in read_aligned_vectors(spark, str(p)).collect()}
     assert set(got) == {"hello", "world"}
     assert math.isclose(got["world"][0], 1.0, rel_tol=1e-6)
+
+
+def test_sample_negatives(spark):
+    from largeea_spark.operators.structure import sample_negatives
+
+    triples = spark.createDataFrame(
+        [(i, 0, (i + 1) % 20) for i in range(20)], "src long, rel long, dst long"
+    )
+    neg = sample_negatives(triples, n_ents=20, n_per_pos=2, seed=7)
+    n = neg.count()
+    assert 0 < n <= 40
+    # no negative collides with a true triple
+    assert neg.join(triples, ["src", "rel", "dst"], "inner").count() == 0
+    # deterministic
+    again = sample_negatives(triples, n_ents=20, n_per_pos=2, seed=7)
+    assert sorted(map(tuple, neg.collect())) == sorted(map(tuple, again.collect()))
 
 
 # --- multimodal plumbing (stubbed decode, real schemas/batching)
