@@ -60,20 +60,37 @@ def bucket_stats(df: DataFrame, id_col: str, token_col: str,
 
 def exact_jaccard_pairs(
     df1: DataFrame, df2: DataFrame, id_col: str, token_col: str,
-    threshold: float = 0.5,
+    threshold: float = 0.5, max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram/token Jaccard join via posting-list self-join —
     the oracle-checkable counterpart of MinHash blocking (and the exact
     dedup path for `documents`). Returns (src, dst, jaccard).
 
     Pattern: explode tokens → join on token → count shared → sizes via
-    two small aggs → |A∩B| / (|A|+|B|−|A∩B|). One shuffle on token
-    (salt-able), one on the pair."""
+    two small aggs → |A∩B| / (|A|+|B|−|A∩B|). One shuffle on token,
+    one on the pair.
+
+    Skew: a token appearing in f docs contributes f² join rows.
+    ``max_df`` drops tokens with df > max_df from the INTERSECTION join
+    only (sizes keep them), making the result a LOWER bound on Jaccard —
+    candidates are under-generated only for pairs whose sole overlap is
+    stop-token-grade tokens, which sit far below any useful threshold.
+    At web scale set max_df ≈ 1000 (the reference's high-freq stop-token
+    drop, `text_utils.py:63-72`, is the same idea)."""
     t1 = df1.select(F.col(id_col).alias("src"), F.explode(F.array_distinct(F.col(token_col))).alias("tok"))
     t2 = df2.select(F.col(id_col).alias("dst"), F.explode(F.array_distinct(F.col(token_col))).alias("tok"))
     n1 = t1.groupBy("src").agg(F.count("*").alias("n_src"))
     n2 = t2.groupBy("dst").agg(F.count("*").alias("n_dst"))
-    inter = t1.join(t2, "tok").groupBy("src", "dst").agg(F.count("*").alias("n_int"))
+    j1, j2 = t1, t2
+    if max_df is not None:
+        hot = (
+            t1.groupBy("tok").count().unionByName(t2.groupBy("tok").count())
+            .groupBy("tok").agg(F.max("count").alias("c"))
+            .where(F.col("c") > max_df).select("tok")
+        )
+        j1 = t1.join(hot, "tok", "left_anti")
+        j2 = t2.join(hot, "tok", "left_anti")
+    inter = j1.join(j2, "tok").groupBy("src", "dst").agg(F.count("*").alias("n_int"))
     return (
         inter.join(n1, "src").join(n2, "dst")
         .withColumn(

@@ -83,6 +83,51 @@ def batched_structure_similarity(
     return fused, stats
 
 
+def trained_batched_structure_similarity(
+    pair: KGPair, base_emb1: DataFrame, base_emb2: DataFrame,
+    k_parts: int = 4, knn_k: int = 50, lp_iters: int = 3,
+    cap: int | None = None, epochs: int = 15,
+) -> tuple[DataFrame, dict]:
+    """M2-shaped variant: per-batch numpy TRAINING (margin refinement,
+    operators/trainer.py) inside grouped applyInPandas — one executor
+    task per batch, memory bounded by the partition cap — then blocked
+    kNN per batch and A10 accumulation. The reference's
+    `run_batched_ea` with the GPU GNN swapped for the deterministic
+    executor-side trainer."""
+    from ..operators.trainer import pack_batch_payload, train_batches
+
+    parts1, parts2 = seed_aware_partition(pair, k_parts, n_iter=lp_iters, cap=cap)
+    parts1 = parts1.localCheckpoint(eager=True)
+    parts2 = parts2.localCheckpoint(eager=True)
+    corr = correspondence(pair.links, parts1, parts2, top_k=1)
+    batches = [(r.p1, r.p2) for r in corr.collect()]
+    covered = {p1 for p1, _ in batches}
+    for r in parts1.select("part").distinct().collect():
+        if r.part not in covered:
+            batches.append((r.part, r.part))
+
+    train = pair.links.where(F.col("split") == "train").select("e1", "e2")
+    placed1, _ = place_triples(pair.kg1.triples, parts1)
+    placed2, _ = place_triples(pair.kg2.triples, parts2)
+    payload = pack_batch_payload(
+        batches, parts1, parts2, placed1, placed2, train, base_emb1, base_emb2
+    )
+    refined = train_batches(payload, epochs=epochs).localCheckpoint(eager=True)
+    r1 = refined.where(F.col("side") == 1).select("id", "emb")
+    r2 = refined.where(F.col("side") == 2).select("id", "emb")
+
+    from ..operators.knn import knn_topk
+
+    per_batch_sims = []
+    for p1, p2 in sorted(batches):
+        e_b1 = r1.join(parts1.where(F.col("part") == p1).select("id"), "id", "left_semi")
+        e_b2 = r2.join(parts2.where(F.col("part") == p2).select("id"), "id", "left_semi")
+        sim_b = knn_topk(e_b1, e_b2, k=knn_k)
+        per_batch_sims.append(sim_b.localCheckpoint(eager=True))
+    fused = simops.coalesce_sum(_union_all(per_batch_sims))
+    return fused, {"batches": [{"p1": int(a), "p2": int(b)} for a, b in batches]}
+
+
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
     out = dfs[0]
     for d in dfs[1:]:

@@ -62,6 +62,39 @@ def test_batched_structure_channel(spark):
     assert acc > 0.2, f"batched structure channel collapsed: {acc}"
 
 
+def test_trained_batched_structure_channel(spark):
+    """M2 shape: per-batch numpy margin training in applyInPandas must
+    produce a usable structure sim (and not regress far below the
+    untrained propagation on the same setup)."""
+    from largeea_spark.functions.vectors import encode_names
+    from largeea_spark.operators import evalx
+    from largeea_spark.plans.name_channel import entity_names
+    from largeea_spark.plans.structure_channel import (
+        batched_structure_similarity,
+        trained_batched_structure_similarity,
+    )
+
+    t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=120, n_triples=360,
+                                               n_links=90)
+    kg1, kg2 = encode_graph(t1), encode_graph(t2)
+    lk = encode_links(links, kg1.ent, kg2.ent, 0.3)
+    pair = KGPair(kg1=kg1, kg2=kg2, links=lk)
+    e1 = encode_names(entity_names(pair.kg1.ent, False), "name", dim=32).select("id", "emb")
+    e2 = encode_names(entity_names(pair.kg2.ent, False), "name", dim=32).select("id", "emb")
+    test = lk.where(F.col("split") == "test")
+    sim_tr, stats = trained_batched_structure_similarity(
+        pair, e1, e2, k_parts=2, knn_k=10, epochs=10
+    )
+    acc_tr = evalx.accuracy(sim_tr, test)
+    assert sim_tr.count() > 0 and len(stats["batches"]) >= 2
+    assert acc_tr > 0.3, f"trained batched channel collapsed: {acc_tr}"
+    # determinism: rerun → identical accuracy
+    sim_tr2, _ = trained_batched_structure_similarity(
+        pair, e1, e2, k_parts=2, knn_k=10, epochs=10
+    )
+    assert abs(evalx.accuracy(sim_tr2, test) - acc_tr) < 1e-9
+
+
 def test_procrustes_refined_similarity(spark):
     from largeea_spark.functions.vectors import encode_names
     from largeea_spark.operators import evalx
