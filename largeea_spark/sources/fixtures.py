@@ -63,7 +63,7 @@ def _variant_name(name: str, kind: str, rng: random.Random) -> str:
 
 def two_kg_fixture(
     spark: SparkSession, n_ents: int = 500, n_triples: int = 1500,
-    n_links: int = 400, seed: int = 42,
+    n_links: int = 400, seed: int = 42, corr_edges: float = 0.7,
 ):
     """Returns (triples1_df, triples2_df, links_df) of URI strings, the
     raw shape `dataset.py:91-111` ingests, plus the variant-kind table.
@@ -71,6 +71,11 @@ def two_kg_fixture(
     KG1 URIs: ``http://dbp.example/resource/{name}``; KG2:
     ``http://fr.dbp.example/resource/{variant}`` — both match
     PREFIX = ``http(s)?://[a-z.]+/[^/]+/`` (`text_utils.py:21`).
+
+    ``corr_edges``: fraction of KG2's triples copied from KG1 through the
+    entity correspondence (real cross-lingual KG pairs describe the same
+    world, so their graphs are correlated — DBP1M-style; the remainder
+    is independent noise so the graphs are not isomorphic).
     """
     rng = random.Random(seed)
     names1 = [_base_name(i) for i in range(n_ents)]
@@ -127,7 +132,28 @@ def two_kg_fixture(
         return pd.DataFrame(rows, columns=["s", "p", "o"])
 
     t1 = gen_triples(names1, pre1)
-    t2 = gen_triples(names2, pre2)
+    # KG2: corr_edges of KG1's edge structure mapped through the
+    # correspondence (same entity index i ↔ variant name), rest noise
+    shared_rows = []
+    for s, p, o in t1.itertuples(index=False):
+        if rng.random() < corr_edges:
+            i = int(s.rsplit("_", 1)[1])
+            j = int(o.rsplit("_", 1)[1])
+            shared_rows.append((pre2 + names2[i], p, pre2 + names2[j]))
+    t2_noise = gen_triples(names2, pre2)
+    # keep the full base chain (rows [:n_ents]) so every entity stays
+    # covered, then top up with noise rows
+    n_extra = max(0, n_triples - len(shared_rows) - n_ents)
+    t2 = (
+        pd.concat(
+            [pd.DataFrame(shared_rows, columns=["s", "p", "o"]),
+             t2_noise.iloc[:n_ents],
+             t2_noise.iloc[n_ents : n_ents + n_extra]],
+            ignore_index=True,
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
     link_idx = list(range(n_ents))
     rng.shuffle(link_idx)
     link_idx = sorted(link_idx[:n_links])
