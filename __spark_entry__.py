@@ -447,6 +447,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_knn_blocked"] = emb_knn_blocked
 
+    def doc_pipeline_composite(spark, sf):  # filter → dedup → per-lang stats
+        from largeea_spark.operators.dedup import exact_dedup_keep
+        from largeea_spark.operators.textstats import quality_features
+
+        docs = _t(spark, sf, "documents")
+        qf = quality_features(docs)
+        kept_q = docs.join(
+            qf.where(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id", "left_semi"
+        )
+        deduped = exact_dedup_keep(kept_q)
+        return deduped.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+
+    q["doc_pipeline_composite"] = doc_pipeline_composite
+
     def emb_ivf_ann(spark, sf):  # IVF approximate NN — rows-only
         from largeea_spark.operators.knn import ivf_topk
 
@@ -1022,6 +1039,31 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n,
                round(sum(o_totalprice), 4)::DOUBLE AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    o["doc_pipeline_composite"] = f"""
+        WITH feat AS (
+          SELECT doc_id,
+                 CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 len(list_intersect(list_distinct({_TOKS}), {_ALL_STOP_SQL})) AS stop_hits
+          FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 round(least(n_toks / 100.0, 1.0) * 0.4
+                   + (1.0 - least(CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0 END * 4.0, 1.0)) * 0.3
+                   + least(CASE WHEN n_toks > 0 THEN stop_hits::DOUBLE / n_toks ELSE 0 END * 5.0, 1.0) * 0.3, 6) AS score
+          FROM feat),
+        kept AS (
+          SELECT d.* FROM documents d JOIN scored USING (doc_id)
+          WHERE scored.score >= 0.5),
+        dedup AS (
+          SELECT * FROM kept WHERE doc_id IN (
+            SELECT min(doc_id) FROM kept GROUP BY md5(text)))
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               round(avg(n_chars), 6)::DOUBLE AS avg_chars
+        FROM dedup GROUP BY 1
     """
 
     o["eval_hits_mrr"] = f"""
