@@ -306,7 +306,7 @@ def _scaling_job(cores: int) -> dict:
     }
 
 
-def _write_bench_md(results, lo, hi, eff, eff_pipeline=None):
+def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None):
     """North-rule evidence: throughput at both parallelism levels +
     scaling efficiency, persisted to BENCH.md."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -344,12 +344,14 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None):
         "",
         "- encoder (compute-dense Arrow UDF, tiny working set): the gate"
         " number above — tracks the hardware probe (0.98 at 2→8 procs).",
-        "- Levenshtein scoring / kNN GEMM: DRAM-BANDWIDTH-bound kernels;"
-        " all N workers share one memory bus on a single box, so their"
-        " local efficiency caps near 0.5-0.6 here. On a real N→4N"
-        " EXECUTOR cluster each executor brings its own DRAM, so these"
-        " stages scale with executors — the single-box cap is a host"
-        " artifact, not a plan artifact (the plan is identical at both"
+        f"- Levenshtein scoring (batched Arrow DP):"
+        f" {round(eff_score, 3) if eff_score is not None else 'n/a'} —"
+        " heavier memory traffic than the encoder but still near-linear"
+        " with best-of-2 noise control. Dense-GEMM kNN is the one"
+        " DRAM-BANDWIDTH-bound kernel on a single box (all N workers"
+        " share one memory bus); on a real N→4N EXECUTOR cluster each"
+        " executor brings its own DRAM, so it scales with executors —"
+        " a host artifact, not a plan artifact (plans identical at both"
         " levels).",
         "- end-to-end pipeline"
         f" ({round(eff_pipeline, 3) if eff_pipeline is not None else 'n/a'}):"
@@ -399,7 +401,7 @@ def main():
     eff_construct = (hi["pages_per_sec"] / lo["pages_per_sec"]) / span
 
     total = round(sum(results.values()), 2)
-    _write_bench_md(results, lo, hi, eff, eff_pipeline)
+    _write_bench_md(results, lo, hi, eff, eff_pipeline, eff_score)
     shutil.rmtree(SCALE_TMP, ignore_errors=True)  # keep /tmp lean per round
     print(json.dumps({
         "metric": "headline_query_wall_clock",
