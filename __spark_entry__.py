@@ -668,7 +668,9 @@ _ALL_STOP_SQL = "[" + ", ".join(
     f"'{w}'" for w in sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
 ) + "]"
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+# mirrors functions/names.py tokenize_ws: split on \s+ runs, drop the
+# empty token DuckDB/Spark emit for empty or whitespace-only text
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
 
 _DOC_POSTINGS = f"""
     SELECT doc_id AS id, tok AS token, count(*)::BIGINT AS tf

@@ -123,5 +123,11 @@ def batch_ratio(a_strs: list, b_strs: list, chunk: int = 2048) -> np.ndarray:
 @F.pandas_udf(DoubleType())
 def levenshtein_ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batched) Levenshtein ratio column — pair-axis
-    batched LCS DP (see batch_lcs_len)."""
-    return pd.Series(batch_ratio(s1.tolist(), s2.tolist()), dtype="float64")
+    batched LCS DP (see batch_lcs_len). Null on either side scores 0.0,
+    matching ``ratio_py`` (batch_ratio alone would coerce None→"" and
+    score a None/None pair 1.0)."""
+    out = batch_ratio(s1.tolist(), s2.tolist())
+    null_mask = (s1.isna() | s2.isna()).to_numpy()
+    if null_mask.any():
+        out = np.where(null_mask, 0.0, out)
+    return pd.Series(out, dtype="float64")

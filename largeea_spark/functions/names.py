@@ -63,9 +63,14 @@ def normalize_name(col: Column | str, punct_to_space: bool = True) -> Column:
 
 
 def tokenize_ws(col: Column | str) -> Column:
-    """F3: Python ``str.split()`` — runs of whitespace, no empty tokens."""
+    """F3: Python ``str.split()`` — runs of whitespace, no empty tokens.
+
+    ``F.split(trim(s), '\\s+')`` on an empty/whitespace-only string
+    yields ``[""]`` (one empty token), where Python yields ``[]`` — the
+    ``array_remove`` drops it so empty docs contribute no postings to
+    tf_idf / token similarity / langid voting."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def underscore_token_set(col: Column | str) -> Column:

@@ -99,11 +99,50 @@ def hashed_name_encoder(dim: int = 64, n: int = 3):
     return encode
 
 
+def model_name_encoder(loader, batch_size: int = 512):
+    """A6 real-encoder seam (`emb_loader.py:119-182`): wrap any
+    sentence-encoder model behind the same ``string → array<float>``
+    pandas-UDF contract as the hashed default.
+
+    ``loader``: ZERO-ARG callable run ON THE EXECUTOR, once per task
+    (inside the iterator UDF — the model never ships through the
+    closure), returning an object with
+    ``encode(texts: list[str]) -> ndarray[len(texts), dim]`` — the
+    sentence-transformers/BERT-pooling API shape. On a real cluster
+    pass e.g. ``lambda: SentenceTransformer(...)``; in this sandbox a
+    mock object with the same method verifies the plumbing
+    (tests/test_round2.py)."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = loader()  # once per task, executor-side
+        for s in it:
+            texts = ["" if t is None else t for t in s.tolist()]
+            out = []
+            for lo in range(0, len(texts), batch_size):
+                mat = np.asarray(model.encode(texts[lo:lo + batch_size]),
+                                 dtype=np.float32)
+                out.extend(list(mat))
+            yield pd.Series(out)
+
+    return encode
+
+
 def encode_names(df: DataFrame, name_col: str, out_col: str = "emb",
-                 dim: int = 64, n: int = 3) -> DataFrame:
-    """Attach the deterministic name embedding (contract of A6/M9:
-    ``id → array<float>``)."""
-    return df.withColumn(out_col, hashed_name_encoder(dim, n)(F.col(name_col)))
+                 dim: int = 64, n: int = 3, encoder="hashed") -> DataFrame:
+    """Attach the name embedding (contract of A6/M9:
+    ``id → array<float>``).
+
+    ``encoder``: ``"hashed"`` (default — deterministic char-n-gram
+    feature hashing) or a zero-arg model loader (see
+    ``model_name_encoder``) for a real transformer encoder."""
+    if encoder == "hashed":
+        udf = hashed_name_encoder(dim, n)
+    elif callable(encoder):
+        udf = model_name_encoder(encoder)
+    else:
+        raise ValueError(f"encoder must be 'hashed' or a callable loader, got {encoder!r}")
+    return df.withColumn(out_col, udf(F.col(name_col)))
 
 
 def word_to_entity_embedding(e2w: DataFrame, word_emb: DataFrame,

@@ -15,6 +15,16 @@ Reference formulas reproduced:
 All of these are joins + one aggregation over the long-format sim IR —
 no dense materialization (the reference densifies in 512-row batches,
 `eval.py:202-216`; Spark needs no batching).
+
+Documented deviation (sparse-row padding): the reference densifies each
+row batch, so ``torch.topk`` pads rows having fewer than k STORED
+entries with zero-valued columns — a gold dst with no stored entry can
+still land in the reference's top-k of such a row (at an arbitrary
+position among the ties at 0). The engine ranks only stored entries and
+counts those golds as ``fail_rank`` misses — a small, systematically
+PESSIMISTIC bias on sparse rows (never optimistic), inert under the
+metric-tolerance gating of SURVEY.md §7.4.7 and nonexistent when every
+row carries ≥k entries (the kNN channels always emit exactly k).
 """
 
 from __future__ import annotations

@@ -43,50 +43,53 @@ def _norm_adj(triples: DataFrame) -> DataFrame:
     )
 
 
-def _exploded(emb: DataFrame) -> DataFrame:
-    return emb.select("id", F.posexplode("emb").alias("pos", "x"))
-
-
-def _reassemble(flat: DataFrame) -> DataFrame:
-    return (
-        flat.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-        .select("id", F.col("px.x").alias("emb"))
-    )
-
-
 def propagate_embeddings(
     triples: DataFrame, emb: DataFrame, n_layers: int = 2, alpha: float = 1.0,
+    dim: int | None = None,
 ) -> DataFrame:
     """n_layers of  h ← L2norm(h + α·Â h)  over (id, emb array<double>).
 
-    Flat (id, pos, x) representation end-to-end: the adjacency multiply
-    is a join on the node index + groupBy (id, pos) — two shuffles per
-    layer, both on keys Catalyst can reuse. Dim d multiplies row count,
-    not shuffle count (d≤128 here)."""
+    Array form end-to-end: the adjacency multiply joins edges (i, j, w)
+    to the neighbor's WHOLE embedding once and aggregates d per-dimension
+    sums in ONE groupBy(i) — shuffle volume is |E| rows per layer (with
+    map-side partial aggregation reducing it toward |V|·d values), not
+    the |E|·d exploded rows of the earlier (id, pos, x) formulation — a
+    ~d× (64-128×) shuffle-byte reduction at DBP1M scale. Normalization
+    is a JVM-side aggregate expression; no UDF anywhere."""
+    from ..functions.vectors import l2_normalize_expr
+
     adj = _norm_adj(triples).localCheckpoint(eager=True)
-    flat = _exploded(emb.select("id", F.col("emb").cast("array<double>").alias("emb")))
+    cur = emb.select("id", F.col("emb").cast("array<double>").alias("emb"))
+    if dim is None:
+        row = cur.select(F.size("emb").alias("d")).first()
+        if row is None:
+            return cur
+        dim = int(row["d"])
     for _ in range(n_layers):
         msgs = (
-            adj.join(flat.select(F.col("id").alias("j"), "pos", "x"), "j")
-            .groupBy(F.col("i").alias("id"), "pos")
-            .agg(F.sum(F.col("w") * F.col("x")).alias("mx"))
+            adj.join(
+                cur.select(F.col("id").alias("j"), F.col("emb").alias("ej")), "j"
+            )
+            .groupBy(F.col("i").alias("id"))
+            .agg(*[
+                F.sum(F.col("w") * F.element_at("ej", k + 1)).alias(f"m{k}")
+                for k in range(dim)
+            ])
+            .select("id", F.array(*[F.col(f"m{k}") for k in range(dim)]).alias("msg"))
         )
-        flat = (
-            flat.join(msgs, ["id", "pos"], "left")
-            .select("id", "pos",
-                    (F.col("x") + F.lit(alpha) * F.coalesce("mx", F.lit(0.0))).alias("x"))
+        cur = (
+            cur.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("msg").isNull(), F.col("emb")).otherwise(
+                    F.zip_with("emb", "msg", lambda x, y: x + F.lit(alpha) * y)
+                ).alias("emb"),
+            )
         )
-        # L2 row-normalize in flat form
-        norms = flat.groupBy("id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
-        flat = (
-            flat.join(norms, "id")
-            .select("id", "pos",
-                    F.when(F.col("nrm") > 0, F.col("x") / F.col("nrm"))
-                    .otherwise(F.col("x")).alias("x"))
-            .localCheckpoint(eager=True)
+        cur = cur.select("id", l2_normalize_expr("emb").alias("emb")).localCheckpoint(
+            eager=True
         )
-    return _reassemble(flat)
+    return cur
 
 
 def inject_seeds(emb1: DataFrame, emb2: DataFrame, train: DataFrame

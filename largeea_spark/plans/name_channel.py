@@ -64,7 +64,7 @@ def string_similarity(
 
 def name_embedding_similarity(
     pair: KGPair, k: int = 50, dim: int = 64, ngram: int = 3,
-    restrict_to_test: bool = False,
+    restrict_to_test: bool = False, encoder="hashed",
 ) -> DataFrame:
     """Phases 1-2 (`main.py:301-320`): encoder + global top-k kNN.
 
@@ -78,8 +78,8 @@ def name_embedding_similarity(
         test = pair.links.where(F.col("split") == "test")
         n1 = n1.join(test.select(F.col("e1").alias("id")), "id", "left_semi")
         n2 = n2.join(test.select(F.col("e2").alias("id")), "id", "left_semi")
-    e1 = encode_names(n1, "name", dim=dim, n=ngram)
-    e2 = encode_names(n2, "name", dim=dim, n=ngram)
+    e1 = encode_names(n1, "name", dim=dim, n=ngram, encoder=encoder)
+    e2 = encode_names(n2, "name", dim=dim, n=ngram, encoder=encoder)
     return knn_topk(e1, e2, k=k)
 
 

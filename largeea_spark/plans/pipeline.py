@@ -66,10 +66,16 @@ def construct_kg_from_pages(
         from ..functions.names import remove_punct
 
         norm = ents.select("id", F.lower(remove_punct(F.col("name"))).alias("norm"))
+        # STAR edges to the group-minimum id, NOT an all-pairs self-join:
+        # a surface name occurring f times yields f−1 edges (linear),
+        # where norm-join pairs would yield f²/2 — a hot web name
+        # ("Home", "John Smith") at f=10⁶ would emit 10¹² join rows.
+        # CC over the star is identical to CC over the clique.
+        gmin = norm.groupBy("norm").agg(F.min("id").alias("a"))
         pairs = (
-            norm.alias("a").join(norm.alias("b"), "norm")
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+            norm.join(gmin, "norm")
+            .where(F.col("id") != F.col("a"))
+            .select("a", F.col("id").alias("b"))
         )
         return canonical_ids(pairs, ents, node_col="id")
 
@@ -98,11 +104,26 @@ def align_kg_pair(
     knn_k: int = 50, string_weight: float = 0.05, use_structure: bool = True,
     structure_layers: int = 2, emb_dim: int = 64,
     use_token_channel: bool = False, token_weight: float = 0.3,
-    structure_weight: float = 0.25,
+    structure_weight: float = 1.0, k_parts: int = 4,
+    structure_impl: str = "batched", structure_algo: str = "anchor",
+    top_k_corr: int = 1, it_rounds: int = 1, semi_margin: float = 0.05,
 ) -> dict:
     """Two-KG alignment, reference phase order (`main.py:242-369`):
-    name channel (string+embedding) → semi seeds → structure channel →
-    fusion → eval. Each sim is a checkpointed stage (S4 analogue)."""
+    name channel (string+embedding) → structure channel → fusion → eval.
+    Each sim is a checkpointed stage (S4 analogue).
+
+    The default structure channel is the batched seed-anchor trainer
+    (``structure_impl='batched'``, ``structure_algo='anchor'``) trained
+    on GOLD seeds only, fused at the reference's weight 1.0
+    (`main.py:356`). ``structure_impl='propagate'`` keeps the
+    training-free propagation channel (L8/L9).
+
+    ``it_rounds > 1`` enables iterative semi-supervision (M4/M8,
+    `models/rrea/rrea.py:182-211`, `EAKit/semi_utils.py:20-110`): each
+    extra round mines high-margin mutual pairs (W10/W11) from the
+    current FUSED sim, conflict-filters them against gold train (U5
+    anti-joins on both sides), re-trains the structure channel with
+    gold ∪ mined, and re-fuses."""
     sim_string = store.checkpoint(
         "sim_string", lambda: name_channel.string_similarity(pair)
     )
@@ -114,26 +135,38 @@ def align_kg_pair(
     )
 
     sims = {"string": sim_string, "embed": sim_embed}
-    if use_structure:
-        def build_structure():
+    train = pair.links.where(F.col("split") == "train").select("e1", "e2")
+
+    def make_structure(extra_links: DataFrame | None, key: str) -> DataFrame:
+        def build():
             from ..functions.vectors import encode_names
-            from ..operators.structure import structure_similarity
 
             n1 = name_channel.entity_names(pair.kg1.ent, punct_to_space=False)
             n2 = name_channel.entity_names(pair.kg2.ent, punct_to_space=False)
-            e1 = encode_names(n1, "name", dim=emb_dim)
-            e2 = encode_names(n2, "name", dim=emb_dim)
-            # train = gold train ∪ mined semi seeds (`main.py:284-286`)
-            train = pair.links.where(F.col("split") == "train").select("e1", "e2")
-            boosted = KGPair(
-                kg1=pair.kg1, kg2=pair.kg2,
-                links=train.unionByName(seeds).distinct().withColumn("split", F.lit("train")),
+            e1 = encode_names(n1, "name", dim=emb_dim).select("id", "emb")
+            e2 = encode_names(n2, "name", dim=emb_dim).select("id", "emb")
+            lks = train if extra_links is None else (
+                train.unionByName(extra_links.select("e1", "e2")).distinct()
             )
-            return structure_similarity(boosted, e1.select("id", "emb"),
-                                        e2.select("id", "emb"),
-                                        n_layers=structure_layers, k=knn_k)
+            kgp = KGPair(kg1=pair.kg1, kg2=pair.kg2,
+                         links=lks.withColumn("split", F.lit("train")))
+            if structure_impl == "propagate":
+                from ..operators.structure import structure_similarity
 
-        sims["structure"] = store.checkpoint("sim_structure", build_structure)
+                return structure_similarity(kgp, e1, e2,
+                                            n_layers=structure_layers, k=knn_k)
+            from .structure_channel import trained_batched_structure_similarity
+
+            sim, _ = trained_batched_structure_similarity(
+                kgp, e1, e2, k_parts=k_parts, knn_k=knn_k,
+                top_k_corr=top_k_corr, algo=structure_algo,
+            )
+            return sim
+
+        return store.checkpoint(key, build)
+
+    if use_structure:
+        sims["structure"] = make_structure(None, "sim_structure")
 
     if use_token_channel:
         sims["token"] = store.checkpoint(
@@ -141,28 +174,49 @@ def align_kg_pair(
             lambda: name_channel.token_level_similarity(pair, dim=emb_dim),
         )
 
-    def build_fused():
+    def fuse_round(structure_sim: DataFrame | None) -> DataFrame:
         name_parts = [sim_embed, sim_string]
         name_w = [1.0, string_weight]
         if use_token_channel:
             name_parts.append(sims["token"])
             name_w.append(token_weight)
         name_sim = simops.fuse(name_parts, name_w)
-        if use_structure:
-            # reference adds stru + name at weight 1.0 (`main.py:356`);
-            # the deterministic propagation channel is weaker than a GPU
-            # RREA, so equal weighting drags fusion below name-only —
-            # 0.25 measured optimal on the fixture (fusion beats every
-            # single channel); weight is a config knob
-            return simops.fuse([sims["structure"], name_sim],
+        if structure_sim is not None:
+            # reference fuses stru + name at weight 1.0 (`main.py:356`)
+            return simops.fuse([structure_sim, name_sim],
                                [structure_weight, 1.0])
         return name_sim
 
-    fused = store.checkpoint("sim_fused", build_fused)
+    fused = store.checkpoint(
+        "sim_fused", lambda: fuse_round(sims.get("structure"))
+    )
+
     test = pair.links.where(F.col("split") == "test")
     n_src = (pair.kg1.ent.agg(F.max("id")).first()[0] or 0) + 1
     metrics = {}
     for name, s in {**sims, "fused": fused}.items():
         metrics[name] = evalx.hits_and_mrr(s, test, ks=(1, 5, 50), n_src=n_src)
         store.log_metrics(f"eval_{name}", metrics[name])
+
+    # iterative semi-supervision (M4/M8): mine → conflict-filter →
+    # re-train structure → re-fuse; metrics logged per round
+    for r in range(2, it_rounds + 1):
+        if not use_structure:
+            break
+        mined = store.checkpoint(
+            f"semi_mined_r{r}",
+            lambda: simops.margin_mutual_pairs(fused, semi_margin)
+            .select(F.col("src").alias("e1"), F.col("dst").alias("e2"))
+            .join(train.select("e1"), "e1", "left_anti")
+            .join(train.select("e2"), "e2", "left_anti"),
+        )
+        sims[f"structure_r{r}"] = make_structure(mined, f"sim_structure_r{r}")
+        fused = store.checkpoint(
+            f"sim_fused_r{r}", lambda: fuse_round(sims[f"structure_r{r}"])
+        )
+        metrics[f"fused_r{r}"] = evalx.hits_and_mrr(fused, test, ks=(1, 5, 50), n_src=n_src)
+        store.log_metrics(f"eval_fused_r{r}", metrics[f"fused_r{r}"])
+    metrics["fused"] = evalx.hits_and_mrr(fused, test, ks=(1, 5, 50), n_src=n_src) \
+        if it_rounds > 1 else metrics["fused"]
+
     return {"sims": sims, "fused": fused, "seeds": seeds, "metrics": metrics}

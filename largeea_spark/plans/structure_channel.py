@@ -24,10 +24,27 @@ from ..operators.structure import inject_seeds, propagate_embeddings
 from ..sources.kg import KGPair
 
 
+def _corr_batches(pair: KGPair, parts1: DataFrame, parts2: DataFrame,
+                  top_k_corr: int) -> list[tuple[int, int]]:
+    """(p1, p2) correspondence pairs, possibly several p2 per p1: the
+    reference pairs each src batch with the UNION of its top-k
+    (`top_k_corr=5`, `sampler.py:211,248-262`) target partitions — the
+    recall mechanism that keeps counterparts scoreable when partitioning
+    separates them. Src parts with no train overlap pair with the same
+    part id as a fallback."""
+    corr = correspondence(pair.links, parts1, parts2, top_k=top_k_corr)
+    batches = [(r.p1, r.p2) for r in corr.collect()]
+    covered = {p1 for p1, _ in batches}
+    for r in parts1.select("part").distinct().collect():
+        if r.part not in covered:
+            batches.append((r.part, r.part))
+    return batches
+
+
 def batched_structure_similarity(
     pair: KGPair, base_emb1: DataFrame, base_emb2: DataFrame,
     k_parts: int = 4, n_layers: int = 2, knn_k: int = 50,
-    lp_iters: int = 3, cap: int | None = None,
+    lp_iters: int = 3, cap: int | None = None, top_k_corr: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Returns (sim IR accumulated over batches, stats).
 
@@ -36,14 +53,7 @@ def batched_structure_similarity(
     parts1, parts2 = seed_aware_partition(pair, k_parts, n_iter=lp_iters, cap=cap)
     parts1 = parts1.localCheckpoint(eager=True)
     parts2 = parts2.localCheckpoint(eager=True)
-    corr = correspondence(pair.links, parts1, parts2, top_k=1)
-    batches = [(r.p1, r.p2) for r in corr.collect()]
-    # src parts with no train overlap pair with the same part id if present
-    covered = {p1 for p1, _ in batches}
-    all_p1 = [r.part for r in parts1.select("part").distinct().collect()]
-    for p in all_p1:
-        if p not in covered:
-            batches.append((p, p))
+    batches = _corr_batches(pair, parts1, parts2, top_k_corr)
 
     train = pair.links.where(F.col("split") == "train")
     placed1, drop1 = place_triples(pair.kg1.triples, parts1)
@@ -57,13 +67,17 @@ def batched_structure_similarity(
 
     from ..operators.knn import knn_topk
 
+    grouped: dict[int, list[int]] = {}
+    for p1, p2 in sorted(batches):
+        grouped.setdefault(p1, []).append(p2)
+
     per_batch_sims = []
     stats = {"batches": [], "dropped_triples": drop1 + drop2}
-    for p1, p2 in sorted(batches):
+    for p1, p2s in sorted(grouped.items()):
         ents_b1 = parts1.where(F.col("part") == p1).select("id")
-        ents_b2 = parts2.where(F.col("part") == p2).select("id")
+        ents_b2 = parts2.where(F.col("part").isin(p2s)).select("id")
         t_b1 = placed1.where(F.col("part") == p1).drop("part")
-        t_b2 = placed2.where(F.col("part") == p2).drop("part")
+        t_b2 = placed2.where(F.col("part").isin(p2s)).drop("part")
         emb_b1 = e1_seeded.join(ents_b1, "id", "left_semi")
         emb_b2 = e2_seeded.join(ents_b2, "id", "left_semi")
         prop1 = propagate_embeddings(t_b1, emb_b1, n_layers)
@@ -77,7 +91,7 @@ def batched_structure_similarity(
         )
         sim_b = knn_topk(prop1, prop2, k=knn_k)
         per_batch_sims.append(sim_b.localCheckpoint(eager=True))
-        stats["batches"].append({"p1": int(p1), "p2": int(p2)})
+        stats["batches"].append({"p1": int(p1), "p2": [int(p) for p in p2s]})
 
     fused = simops.coalesce_sum(_union_all(per_batch_sims))
     return fused, stats
@@ -86,25 +100,23 @@ def batched_structure_similarity(
 def trained_batched_structure_similarity(
     pair: KGPair, base_emb1: DataFrame, base_emb2: DataFrame,
     k_parts: int = 4, knn_k: int = 50, lp_iters: int = 3,
-    cap: int | None = None, epochs: int = 15,
+    cap: int | None = None, epochs: int = 15, top_k_corr: int = 1,
+    algo: str = "anchor",
 ) -> tuple[DataFrame, dict]:
     """M2-shaped variant: per-batch numpy TRAINING (margin refinement,
     operators/trainer.py) inside grouped applyInPandas — one executor
     task per batch, memory bounded by the partition cap — then blocked
     kNN per batch and A10 accumulation. The reference's
     `run_batched_ea` with the GPU GNN swapped for the deterministic
-    executor-side trainer."""
+    executor-side trainer. ``top_k_corr``: each src batch trains/scores
+    against the union of its top-k corresponding trg parts
+    (`sampler.py:211,248-262`)."""
     from ..operators.trainer import pack_batch_payload, train_batches
 
     parts1, parts2 = seed_aware_partition(pair, k_parts, n_iter=lp_iters, cap=cap)
     parts1 = parts1.localCheckpoint(eager=True)
     parts2 = parts2.localCheckpoint(eager=True)
-    corr = correspondence(pair.links, parts1, parts2, top_k=1)
-    batches = [(r.p1, r.p2) for r in corr.collect()]
-    covered = {p1 for p1, _ in batches}
-    for r in parts1.select("part").distinct().collect():
-        if r.part not in covered:
-            batches.append((r.part, r.part))
+    batches = _corr_batches(pair, parts1, parts2, top_k_corr)
 
     train = pair.links.where(F.col("split") == "train").select("e1", "e2")
     placed1, _ = place_triples(pair.kg1.triples, parts1)
@@ -112,16 +124,20 @@ def trained_batched_structure_similarity(
     payload = pack_batch_payload(
         batches, parts1, parts2, placed1, placed2, train, base_emb1, base_emb2
     )
-    refined = train_batches(payload, epochs=epochs).localCheckpoint(eager=True)
-    r1 = refined.where(F.col("side") == 1).select("id", "emb")
-    r2 = refined.where(F.col("side") == 2).select("id", "emb")
+    refined = train_batches(payload, epochs=epochs, algo=algo).localCheckpoint(eager=True)
+    r1 = refined.where(F.col("side") == 1).select("batch", "id", "emb")
+    r2 = refined.where(F.col("side") == 2).select("batch", "id", "emb")
 
     from ..operators.knn import knn_topk
 
     per_batch_sims = []
-    for p1, p2 in sorted(batches):
-        e_b1 = r1.join(parts1.where(F.col("part") == p1).select("id"), "id", "left_semi")
-        e_b2 = r2.join(parts2.where(F.col("part") == p2).select("id"), "id", "left_semi")
+    for p1 in sorted({p for p, _ in batches}):
+        # filter on the TRAINING batch id (= p1), not just entity
+        # membership: a KG2 part shared by two batches is trained twice
+        # and an id-only semi-join would pull both copies into the kNN
+        # index, double-adding duplicate (src,dst) rows in coalesce_sum.
+        e_b1 = r1.where(F.col("batch") == int(p1)).select("id", "emb")
+        e_b2 = r2.where(F.col("batch") == int(p1)).select("id", "emb")
         sim_b = knn_topk(e_b1, e_b2, k=knn_k)
         per_batch_sims.append(sim_b.localCheckpoint(eager=True))
     fused = simops.coalesce_sum(_union_all(per_batch_sims))

@@ -84,15 +84,51 @@ def encode_links(raw_links: DataFrame, ent1: DataFrame, ent2: DataFrame,
                  train_ratio: float = 0.2) -> DataFrame:
     """S2 encode + split (`process_link` `dataset.py:103-111`,
     `ill` split `dataset.py:52-64`): join URIs to both ent dims; first
-    ``train_ratio`` fraction (by ``idx``) is train, rest test."""
+    ``train_ratio`` fraction (by ``idx``) is train, rest test.
+
+    The train cut is computed over the FULL link-file row count (the
+    reference cuts on all links, `dataset.py:32`), so a link whose URI
+    is missing from a dim cannot shift the split boundary. Links with
+    unmatched URIs are dropped here (use ``encode_links_extending`` /
+    ``load_kg_pair`` for the reference's append-fresh-ids semantics)."""
     e1 = ent1.select(F.col("uri").alias("u1"), F.col("id").alias("e1"))
     e2 = ent2.select(F.col("uri").alias("u2"), F.col("id").alias("e2"))
-    enc = raw_links.join(e1, "u1").join(e2, "u2").select("e1", "e2", "idx")
-    n = enc.count()
+    n = raw_links.count()
     cut = int(n * train_ratio)
+    enc = raw_links.join(e1, "u1").join(e2, "u2").select("e1", "e2", "idx")
     return enc.withColumn(
         "split", F.when(F.col("idx") < cut, F.lit("train")).otherwise(F.lit("test"))
     ).drop("idx")
+
+
+def encode_links_extending(
+    raw_links: DataFrame, kg1: KG, kg2: KG, train_ratio: float = 0.2,
+) -> tuple[DataFrame, KG, KG]:
+    """Reference `process_link` semantics (`dataset.py:103-111`): a link
+    URI absent from a triple-derived ent dim gets a FRESH dense id
+    appended to that dim rather than dropping the gold link — dropped
+    links would shrink eval denominators and shift the first-20% cut.
+    Returns (links, kg1, kg2) with possibly-extended ent dims."""
+
+    def extend(ent: DataFrame, uris: DataFrame) -> DataFrame:
+        missing = uris.join(ent.select("uri"), "uri", "left_anti").distinct()
+        if missing.isEmpty():
+            return ent
+        base = ent.agg(F.max("id")).first()[0]
+        base = (base if base is not None else -1) + 1
+        fresh = assign_dense_ids(missing, "uri").select(
+            "uri", (F.col("id") + F.lit(base)).alias("id")
+        )
+        return ent.unionByName(fresh)
+
+    ent1 = extend(kg1.ent, raw_links.select(F.col("u1").alias("uri")))
+    ent2 = extend(kg2.ent, raw_links.select(F.col("u2").alias("uri")))
+    links = encode_links(raw_links, ent1, ent2, train_ratio)
+    return (
+        links,
+        KG(ent=ent1, rel=kg1.rel, triples=kg1.triples),
+        KG(ent=ent2, rel=kg2.rel, triples=kg2.triples),
+    )
 
 
 def load_kg_pair(spark: SparkSession, triples1: str, triples2: str,
@@ -100,7 +136,9 @@ def load_kg_pair(spark: SparkSession, triples1: str, triples2: str,
     """Full OpenEA/LargeScaleEA-layout ingest (`dataset.py:138-155`)."""
     kg1 = encode_graph(read_triples_tsv(spark, triples1))
     kg2 = encode_graph(read_triples_tsv(spark, triples2))
-    lk = encode_links(read_links_tsv(spark, links), kg1.ent, kg2.ent, train_ratio)
+    lk, kg1, kg2 = encode_links_extending(
+        read_links_tsv(spark, links), kg1, kg2, train_ratio
+    )
     return KGPair(kg1=kg1, kg2=kg2, links=lk)
 
 
@@ -124,16 +162,24 @@ def read_aligned_vectors(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def save_eakit_format(pair: KGPair, out_dir: str, shift: bool = True) -> None:
+def save_eakit_format(pair: KGPair, out_dir: str, shift: bool = True,
+                      single_file: bool = False) -> None:
     """S5 export (`save_eakit_format` `dataset.py:66-85`, `dto.py:7-29`):
-    KG2 ids shifted by |ent1| (rels by |rel1|), sorted TSV files."""
+    KG2 ids shifted by |ent1| (rels by |rel1|), sorted TSV files.
+
+    ``single_file=True`` coalesces each table to one part file (exact
+    reference file layout — funnels through one task; compatibility
+    only). Default is sharded: the ``orderBy`` is a range-partitioned
+    sort, so concatenating parts in name order preserves global order."""
     n_ent1 = pair.kg1.ent.count()
     n_rel1 = pair.kg1.rel.count()
     e_shift = n_ent1 if shift else 0
     r_shift = n_rel1 if shift else 0
 
     def w(df: DataFrame, name: str):
-        df.coalesce(1).write.mode("overwrite").csv(f"{out_dir}/{name}", sep="\t")
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").csv(f"{out_dir}/{name}", sep="\t")
 
     w(pair.kg1.ent.select("id", "uri").orderBy("id"), "ent_ids_1")
     w(
