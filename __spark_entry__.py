@@ -615,6 +615,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_hits_mrr"] = eval_hits_mrr
 
+    def eval_hits_mrr_csls(spark, sf):  # W7 + W4/W6: CSLS-rescored eval
+        # end-to-end CSLS eval protocol (`eval.py:82-129`,
+        # `models/rrea/CSLS.py:56-95`): rescore the sim with CSLS, THEN
+        # rank and compute Hits/MRR — the reference's test-time protocol
+        from largeea_spark.operators import simops
+        from largeea_spark.operators.simops import csls_rescore
+
+        sim = csls_rescore(_acctbal_sim(spark, sf), k=10)
+        n_supp = _t(spark, sf, "supplier").count()
+        n_cust = _t(spark, sf, "customer").count()
+        gold = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") % n_supp).alias("dst"),
+        )
+        ranked = simops.rank_per_row(simops.topk_per_row(sim, 10, "src"), "src")
+        joined = gold.join(ranked.select("src", "dst", "rank"), ["src", "dst"], "left")
+        fail = int(n_cust / 2)
+        rank0 = F.coalesce(F.col("rank") - 1, F.lit(fail))
+        return joined.agg(
+            F.round(F.avg(1.0 / (rank0 + 1)), 6).alias("mrr"),
+            F.round(F.avg(F.when(F.col("rank") <= 1, 1.0).otherwise(0.0)), 6).alias("hits1"),
+            F.round(F.avg(F.when(F.col("rank") <= 5, 1.0).otherwise(0.0)), 6).alias("hits5"),
+            F.round(F.avg(F.when(F.col("rank") <= 10, 1.0).otherwise(0.0)), 6).alias("hits10"),
+            F.count("*").alias("n_links"),
+        )
+
+    q["eval_hits_mrr_csls"] = eval_hits_mrr_csls
+
+    def emb_knn_blocked_vs_brute(spark, sf):  # J9 exactness: blocked == brute
+        # blocked EXACT kNN must equal brute force — an engine-vs-engine
+        # hard check (the oracle pins the mismatch count at 0). Blocked
+        # runs with k+1 incl. self (sim=1 on normalized vectors), self is
+        # removed, both sides re-ranked (sim desc, dst asc); 1−L2² is
+        # monotone in cosine on normalized vectors so rankings coincide.
+        from largeea_spark.operators.knn import knn_topk
+
+        e = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        blocked = (
+            knn_topk(e, e, k=6, n_blocks=4)
+            .where(F.col("src") != F.col("dst"))
+        )
+        wb = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+        bl = (
+            blocked.withColumn("rk", F.row_number().over(wb))
+            .where(F.col("rk") <= 5).select("src", "dst")
+        )
+        br = emb_knn_cosine(spark, sf).select("src", "dst")
+        mismatch = bl.exceptAll(br).count() + br.exceptAll(bl).count()
+        return spark.createDataFrame([(mismatch,)], "n_mismatch long")
+
+    q["emb_knn_blocked_vs_brute"] = emb_knn_blocked_vs_brute
+
     def spmm_label_centroids(spark, sf):  # L3 spmm_dense path
         from largeea_spark.operators.simops import spmm_dense
 
@@ -1092,6 +1146,45 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_links
         FROM joined
     """
+
+    o["eval_hits_mrr_csls"] = f"""
+        WITH sim0 AS ({_ACCTBAL_SIM_SQL}),
+        rs AS (SELECT src, avg(sim) AS r_src FROM (
+                 SELECT *, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+                 FROM sim0) WHERE rk <= 10 GROUP BY src),
+        rd AS (SELECT dst, avg(sim) AS r_dst FROM (
+                 SELECT *, row_number() OVER (PARTITION BY dst ORDER BY sim DESC, src ASC) AS rk
+                 FROM sim0) WHERE rk <= 10 GROUP BY dst),
+        sim AS (SELECT src, dst, 2 * sim0.sim - r_src - r_dst AS sim
+                FROM sim0 JOIN rs USING (src) JOIN rd USING (dst)),
+        ranked AS (
+          SELECT src, dst, rank FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+            FROM sim) WHERE rank <= 10),
+        gold AS (
+          SELECT c_custkey AS src,
+                 c_custkey % (SELECT count(*) FROM supplier) AS dst
+          FROM customer),
+        joined AS (
+          SELECT gold.src, gold.dst,
+                 coalesce(ranked.rank - 1,
+                          (SELECT (count(*) / 2)::BIGINT FROM customer)) AS rank0,
+                 ranked.rank AS rank
+          FROM gold LEFT JOIN ranked ON gold.src = ranked.src AND gold.dst = ranked.dst)
+        SELECT round(avg(1.0::DOUBLE / (rank0 + 1)), 6)::DOUBLE AS mrr,
+               round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits1,
+               round(avg(CASE WHEN rank <= 5 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits5,
+               round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits10,
+               count(*)::BIGINT AS n_links
+        FROM joined
+    """
+
+    # engine-vs-engine invariant: blocked exact kNN ≡ brute force.
+    # The Spark query returns the symmetric-difference count of the two
+    # top-k pair sets; the oracle pins it at zero — any divergence
+    # between the blocked path and brute force hash-mismatches.
+    o["emb_knn_blocked_vs_brute"] = "SELECT 0::BIGINT AS n_mismatch"
 
     o["spmm_label_centroids"] = """
         SELECT label, (i - 1)::BIGINT AS pos,

@@ -23,23 +23,39 @@ from ..functions.hashing import explode_band_keys
 def minhash_candidates(
     df1: DataFrame, df2: DataFrame, id_col: str, token_col: str,
     num_perm: int = 128, bands: int = 32, rows: int = 4,
-    max_bucket: int | None = 10000,
+    max_bucket: int | None = 10000, stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs (src=id from df1, dst=id from df2) whose MinHash
-    band keys collide in ≥1 band. Distinct pairs, long-format."""
+    band keys collide in ≥1 band. Distinct pairs, long-format.
+
+    ``stats``: pass a dict to receive hot-bucket drop counts
+    (``dropped_buckets_{1,2}``, ``dropped_rows_{1,2}``) — the no-silent-
+    caps observability hook (wired into StageStore metrics by the
+    pipeline's string-channel stage)."""
     b1 = explode_band_keys(df1, id_col, token_col, num_perm, bands, rows)
     b2 = explode_band_keys(df2, id_col, token_col, num_perm, bands, rows)
     if max_bucket is not None:
-        b1 = _cap_buckets(b1, max_bucket)
-        b2 = _cap_buckets(b2, max_bucket)
+        b1 = _cap_buckets(b1, max_bucket, stats, side=1)
+        b2 = _cap_buckets(b2, max_bucket, stats, side=2)
     left = b1.select(F.col(id_col).alias("src"), "band", "key")
     right = b2.select(F.col(id_col).alias("dst"), "band", "key")
     return left.join(right, ["band", "key"]).select("src", "dst").distinct()
 
 
-def _cap_buckets(bk: DataFrame, max_bucket: int) -> DataFrame:
-    counts = bk.groupBy("band", "key").count().where(F.col("count") <= max_bucket)
-    return bk.join(counts.select("band", "key"), ["band", "key"], "left_semi")
+def _cap_buckets(bk: DataFrame, max_bucket: int, stats: dict | None = None,
+                 side: int = 0) -> DataFrame:
+    counts = bk.groupBy("band", "key").count()
+    if stats is not None:
+        row = (
+            counts.where(F.col("count") > max_bucket)
+            .agg(F.count("*").alias("nb"),
+                 F.coalesce(F.sum("count"), F.lit(0)).alias("nr"))
+            .first()
+        )
+        stats[f"dropped_buckets_{side}"] = int(row["nb"])
+        stats[f"dropped_rows_{side}"] = int(row["nr"])
+    keep = counts.where(F.col("count") <= max_bucket)
+    return bk.join(keep.select("band", "key"), ["band", "key"], "left_semi")
 
 
 def bucket_stats(df: DataFrame, id_col: str, token_col: str,

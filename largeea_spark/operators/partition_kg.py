@@ -117,6 +117,32 @@ def seed_aware_partition(
     return labels1, labels2
 
 
+def random_partition(
+    pair: KGPair, k: int, seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """G5 (`random_partition`, `partition.py:226-247` / `sampler.py:235`):
+    the quality baseline — KG1 entities hashed uniformly into k parts
+    (value-deterministic: xxhash64(id, seed), not rand()); KG2 train
+    counterparts inherit their partner's part (the same hard train
+    co-location invariant as the seed-aware path, so G8 comparisons
+    isolate the effect of structure-aware placement), all other KG2
+    entities hashed. Same output contract as ``seed_aware_partition``."""
+    train = pair.links.where(F.col("split") == "train").select("e1", "e2")
+    part_of = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int")
+    parts1 = pair.kg1.ent.select("id").withColumn("part", part_of)
+    inherit = (
+        train.join(parts1.select(F.col("id").alias("e1"), "part"), "e1")
+        .groupBy("e2").agg(F.min("part").alias("part"))
+        .select(F.col("e2").alias("id"), "part")
+    )
+    parts2 = (
+        pair.kg2.ent.select("id")
+        .join(inherit, "id", "left")
+        .withColumn("part", F.coalesce("part", part_of))
+    )
+    return parts1, parts2
+
+
 _SALT_BASE = 1 << 20  # encoded subpart id: part * _SALT_BASE + salt
 
 

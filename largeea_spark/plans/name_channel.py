@@ -38,7 +38,7 @@ def entity_names(ent: DataFrame, punct_to_space: bool) -> DataFrame:
 
 def string_similarity(
     pair: KGPair, num_perm: int = 128, bands: int = 32, rows: int = 4,
-    restrict_to_test: bool = False,
+    restrict_to_test: bool = False, stats: dict | None = None,
 ) -> DataFrame:
     """Phase 3 (`sparse_string_sim`, `text_sim.py:227-243`):
     MinHash-blocked Levenshtein-ratio sim between the two KGs' names.
@@ -53,7 +53,8 @@ def string_similarity(
         n2 = n2.join(test.select(F.col("e2").alias("id")), "id", "left_semi")
     t1 = n1.withColumn("toks", underscore_token_set("name"))
     t2 = n2.withColumn("toks", underscore_token_set("name"))
-    cand = minhash_candidates(t1, t2, "id", "toks", num_perm, bands, rows)
+    cand = minhash_candidates(t1, t2, "id", "toks", num_perm, bands, rows,
+                              stats=stats)
     scored = (
         cand.join(n1.select(F.col("id").alias("src"), F.col("name").alias("n1")), "src")
         .join(n2.select(F.col("id").alias("dst"), F.col("name").alias("n2")), "dst")

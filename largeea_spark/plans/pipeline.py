@@ -124,9 +124,17 @@ def align_kg_pair(
     current FUSED sim, conflict-filters them against gold train (U5
     anti-joins on both sides), re-trains the structure channel with
     gold ∪ mined, and re-fuses."""
-    sim_string = store.checkpoint(
-        "sim_string", lambda: name_channel.string_similarity(pair)
-    )
+    blocking_stats: dict = {}
+
+    def build_string():
+        # blocking_stats is only populated on a cold build (resume skips
+        # it); the metrics row records hot-bucket drops (no-silent-caps)
+        sim = name_channel.string_similarity(pair, stats=blocking_stats)
+        if blocking_stats:
+            store.log_metrics("sim_string_blocking", blocking_stats)
+        return sim
+
+    sim_string = store.checkpoint("sim_string", build_string)
     sim_embed = store.checkpoint(
         "sim_embed", lambda: name_channel.name_embedding_similarity(pair, k=knn_k, dim=emb_dim)
     )
