@@ -475,6 +475,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_ann"] = emb_ivf_ann
 
+    def emb_ivf_recall_gate(spark, sf):  # IVF recall@10 vs brute ≥ 0.8
+        # hard-gates the approximate path: the oracle pins recall_ok=1,
+        # so an IVF regression below 0.8 recall@10 hash-mismatches.
+        # Deterministic: k-means centroids from a value-hashed sample.
+        from largeea_spark.operators.knn import ivf_topk, knn_topk
+
+        e = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        approx = ivf_topk(e, e, k=10, nlist=16, nprobe=8, sample_rows=5000)
+        exact = knn_topk(e, e, k=10, n_blocks=4)
+        hit = approx.select("src", "dst").intersect(exact.select("src", "dst")).count()
+        total = exact.count()
+        recall = hit / max(total, 1)
+        return spark.createDataFrame(
+            [(1 if recall >= 0.8 else 0, total)], "recall_ok long, n_exact long"
+        )
+
+    q["emb_ivf_recall_gate"] = emb_ivf_recall_gate
+
     def emb_label_centroids(spark, sf):  # A5 scatter-mean over arrays
         e = _t(spark, sf, "embeddings")
         flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
@@ -693,6 +713,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["spmm_label_centroids"] = spmm_label_centroids
+
+    def emb_power_means(spark, sf):  # F13 CPM concatenated power means
+        from largeea_spark.functions.vectors import power_mean_pooling
+
+        e = _t(spark, sf, "embeddings")
+        e2w = e.select(F.col("label").cast("long").alias("ent_id"),
+                       F.col("vec_id").alias("word_id"))
+        wv = e.select(F.col("vec_id").alias("word_id"),
+                      F.col("embedding").alias("emb"))
+        pooled = power_mean_pooling(e2w, wv, ps=(1.0, 2.0), include_minmax=True)
+        return pooled.select(
+            F.col("ent_id").alias("label"),
+            F.posexplode("emb").alias("pos", "v"),
+        ).select("label", F.col("pos").cast("long").alias("pos"),
+                 F.round("v", 6).alias("v"))
+
+    q["emb_power_means"] = emb_power_means
 
     def cc_components(spark, sf):  # large-star/small-star CC
         from largeea_spark.operators.canonical import connected_components
@@ -1180,6 +1217,14 @@ def oracle_sql() -> dict[str, str]:
         FROM joined
     """
 
+    # approximate-path hard gate: IVF recall@10 vs exact must be ≥ 0.8
+    # (recall_ok pinned 1); n_exact pinned to 10 rows per query vector
+    o["emb_ivf_recall_gate"] = """
+        SELECT 1::BIGINT AS recall_ok,
+               (count(*) * 10)::BIGINT AS n_exact
+        FROM embeddings
+    """
+
     # engine-vs-engine invariant: blocked exact kNN ≡ brute force.
     # The Spark query returns the symmetric-difference count of the two
     # top-k pair sets; the oracle pins it at zero — any divergence
@@ -1191,6 +1236,23 @@ def oracle_sql() -> dict[str, str]:
                round(avg(embedding[i]::DOUBLE), 6)::DOUBLE AS centroid_x
         FROM embeddings, generate_series(1, 64) AS t(i)
         GROUP BY 1, 2
+    """
+
+    # CPM layout: [p=1 mean (64) | p=2 mean (64) | min (64) | max (64)]
+    # p=2 is real-expressible (x² ≥ 0); p=3's complex-root semantics are
+    # unit-tested instead (tests/test_round2.py)
+    o["emb_power_means"] = """
+        WITH f AS (SELECT label::BIGINT AS label, i,
+                          embedding[i]::DOUBLE AS x
+                   FROM embeddings, generate_series(1, 64) AS t(i))
+        SELECT label, pos, round(v, 6)::DOUBLE AS v FROM (
+          SELECT label, (i - 1)::BIGINT AS pos, avg(x) AS v FROM f GROUP BY 1, 2
+          UNION ALL
+          SELECT label, (64 + i - 1)::BIGINT, sqrt(avg(x * x)) FROM f GROUP BY 1, 2
+          UNION ALL
+          SELECT label, (128 + i - 1)::BIGINT, min(x) FROM f GROUP BY 1, 2
+          UNION ALL
+          SELECT label, (192 + i - 1)::BIGINT, max(x) FROM f GROUP BY 1, 2)
     """
 
     o["cc_components"] = f"""

@@ -306,7 +306,8 @@ def _scaling_job(cores: int) -> dict:
     }
 
 
-def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None):
+def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
+                    alignment=None):
     """North-rule evidence: throughput at both parallelism levels +
     scaling efficiency, persisted to BENCH.md."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -319,6 +320,17 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None):
         "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in results.items()]
+    if alignment:
+        lines += [
+            "",
+            "## Alignment quality (500-entity fixture, QUALITY.md recipe)",
+            "",
+            "| channel | Hits@1 | MRR |",
+            "|---|---|---|",
+            f"| structure (anchor-trained, gold seeds) | {alignment['structure_hits1']} | {alignment['structure_mrr']} |",
+            f"| fused (structure weight 1.0) | {alignment['fused_hits1']} | {alignment['fused_mrr']} |",
+            f"| fused, semi round 2 (M4/M8) | {alignment['fused_semi_r2_hits1']} | {alignment['fused_semi_r2_mrr']} |",
+        ]
     lines += [
         "",
         "## Scaling (same persisted page corpus, same plan — N vs 4N cores)",
@@ -379,6 +391,59 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None):
         f.write("\n".join(lines))
 
 
+def _alignment_quality(spark) -> dict:
+    """BASELINE.json's headline metric includes alignment Hits@1/MRR:
+    run the deterministic 500-entity fixture through both channels +
+    fusion (+1 semi round) and report the numbers (same recipe as
+    scripts/quality_report.py, QUALITY.md)."""
+    from largeea_spark.functions.vectors import encode_names
+    from largeea_spark.operators import evalx, simops
+    from largeea_spark.plans import name_channel
+    from largeea_spark.plans.structure_channel import (
+        trained_batched_structure_similarity,
+    )
+    from largeea_spark.sources import fixtures
+    from largeea_spark.sources.kg import KGPair, encode_graph, encode_links
+
+    t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=500,
+                                               n_triples=1500, n_links=400)
+    kg1, kg2 = encode_graph(t1), encode_graph(t2)
+    lk = encode_links(links, kg1.ent, kg2.ent, 0.2)
+    pair = KGPair(kg1=kg1, kg2=kg2, links=lk)
+    test = lk.where(F.col("split") == "test")
+    n_src = (kg1.ent.agg(F.max("id")).first()[0] or 0) + 1
+    s_str = name_channel.string_similarity(pair).cache()
+    s_emb = name_channel.name_embedding_similarity(pair, k=50).cache()
+    e1 = encode_names(name_channel.entity_names(pair.kg1.ent, False), "name",
+                      dim=64).select("id", "emb")
+    e2 = encode_names(name_channel.entity_names(pair.kg2.ent, False), "name",
+                      dim=64).select("id", "emb")
+    stru, _ = trained_batched_structure_similarity(pair, e1, e2, k_parts=4,
+                                                   knn_k=50, algo="anchor")
+    stru = stru.cache()
+    name_sim = simops.fuse([s_emb, s_str], [1.0, 0.05])
+    fused = simops.fuse([stru, name_sim], [1.0, 1.0]).cache()
+    train = lk.where(F.col("split") == "train").select("e1", "e2")
+    mined = (
+        simops.margin_mutual_pairs(fused, 0.05)
+        .select(F.col("src").alias("e1"), F.col("dst").alias("e2"))
+        .join(train.select("e1"), "e1", "left_anti")
+        .join(train.select("e2"), "e2", "left_anti")
+    )
+    boosted = KGPair(kg1=kg1, kg2=kg2, links=train.unionByName(mined).distinct()
+                     .withColumn("split", F.lit("train")))
+    stru2, _ = trained_batched_structure_similarity(boosted, e1, e2, k_parts=4,
+                                                    knn_k=50, algo="anchor")
+    fused2 = simops.fuse([stru2, name_sim], [1.0, 1.0])
+    out = {}
+    for name, s in (("structure", stru), ("fused", fused),
+                    ("fused_semi_r2", fused2)):
+        m = evalx.hits_and_mrr(s, test, ks=(1, 5), n_src=n_src)
+        out[f"{name}_hits1"] = round(m["hits@1"], 4)
+        out[f"{name}_mrr"] = round(m["MRR"], 4)
+    return out
+
+
 def main():
     results: dict[str, float] = {}
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
@@ -386,6 +451,9 @@ def main():
         t0 = time.time()
         fn(spark)
         results[name] = round(time.time() - t0, 2)
+    t0 = time.time()
+    alignment = _alignment_quality(spark)
+    alignment["sec"] = round(time.time() - t0, 2)
     spark.stop()
 
     _materialize_scaling_input()
@@ -401,7 +469,7 @@ def main():
     eff_construct = (hi["pages_per_sec"] / lo["pages_per_sec"]) / span
 
     total = round(sum(results.values()), 2)
-    _write_bench_md(results, lo, hi, eff, eff_pipeline, eff_score)
+    _write_bench_md(results, lo, hi, eff, eff_pipeline, eff_score, alignment)
     shutil.rmtree(SCALE_TMP, ignore_errors=True)  # keep /tmp lean per round
     print(json.dumps({
         "metric": "headline_query_wall_clock",
@@ -409,6 +477,7 @@ def main():
         "unit": "sec",
         "queries": results,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "alignment": alignment,
         "scaling": {
             "low": lo, "high": hi,
             "efficiency": round(eff, 3),

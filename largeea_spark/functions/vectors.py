@@ -170,6 +170,60 @@ def word_to_entity_embedding(e2w: DataFrame, word_emb: DataFrame,
     )
 
 
+def power_mean_pooling(
+    e2w: DataFrame, word_emb: DataFrame, ps: tuple = (1.0, 2.0, 3.0),
+    include_minmax: bool = True,
+) -> DataFrame:
+    """F13 — concatenated-power-mean (CPM) entity embeddings
+    (`gen_mean`/`reduce`, `text_utils.py:237-261`): pool word vectors
+    into an entity vector as the concatenation of generalized p-means
+    ``(mean(x^p))^(1/p)`` for each p, plus elementwise min/max.
+
+    Parity detail: the reference computes the p-mean in COMPLEX
+    arithmetic and keeps the real part (`np.power(complex)`), so e.g.
+    the p=3 mean of a negative value follows the principal complex
+    root, NOT the real cube root — reproduced exactly here.
+
+    Shape: one groupBy(ent_id) with an Arrow applyInPandas pool — one
+    shuffle of (ent_id, word vector) rows; per-task memory is one
+    entity group's words.
+
+    e2w: (ent_id, word_id); word_emb: (word_id, emb array).
+    Returns (ent_id, emb array<double>) with len = len(ps)·d (+2d)."""
+    joined = e2w.select("ent_id", "word_id").join(
+        word_emb.select("word_id", F.col("emb").cast("array<double>").alias("emb")),
+        "word_id",
+    ).select("ent_id", "emb")
+
+    ps_l = [float(p) for p in ps]
+    inc_mm = bool(include_minmax)
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        parts = []
+        for p in ps_l:
+            if p == 1.0:
+                parts.append(vals.mean(axis=0))
+            else:
+                # generalized p-mean in complex arithmetic, real part
+                # (`gen_mean`, text_utils.py:237-246)
+                parts.append(
+                    np.power(np.mean(np.power(vals.astype(complex), p), axis=0),
+                             1.0 / p).real
+                )
+        if inc_mm:
+            parts.append(vals.min(axis=0))
+            parts.append(vals.max(axis=0))
+        return pd.DataFrame({
+            "ent_id": [pdf["ent_id"].iloc[0]],
+            "emb": [np.concatenate(parts).tolist()],
+        })
+
+    return joined.groupBy("ent_id").applyInPandas(
+        pool, schema="ent_id long, emb array<double>"
+    )
+
+
 def procrustes(emb1: DataFrame, emb2: DataFrame, anchors: DataFrame) -> list:
     """L7 (`proc` `utils.py:162-164`): orthogonal Procrustes rotation
     W = UVᵀ from the SVD of X₁ᵀX₂ over anchor pairs. The d×d product is

@@ -86,9 +86,16 @@ def seed_aware_partition(
     g2 = cooccurrence_graph(pair.kg2.triples)
 
     # 1. KG1 seeds: deterministic spread over k parts by dense seed rank
-    w_seed = Window.orderBy("e1")
-    seed1 = train.select("e1").distinct().withColumn(
-        "part", (F.row_number().over(w_seed) % k).cast("int")
+    # (distributed dense-rank — no single-reducer global window; DBP1M
+    # has ~200k distinct seeds and this stays fully parallel)
+    from .ids import assign_dense_ids
+
+    seed1 = assign_dense_ids(
+        train.select("e1").distinct(), "e1", id_col="__rank"
+    ).select(
+        # +1 keeps the original 1-based row_number() % k assignment, so
+        # partition labels (and every downstream number) are unchanged
+        "e1", (F.pmod(F.col("__rank") + 1, F.lit(k))).cast("int").alias("part")
     )
     ents1 = pair.kg1.ent.select("id")
     labels1 = ents1.join(seed1.select(F.col("e1").alias("id"), "part"), "id", "left")

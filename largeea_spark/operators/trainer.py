@@ -373,7 +373,12 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
 
     ``algo``: 'anchor' (default — seed-anchor identity propagation,
     strongest), 'margin' (v1 margin refinement), 'rrea' (relational
-    reflection attention)."""
+    reflection attention), or a CALLABLE with the signature
+    ``(ids1, emb1, ids2, emb2, triples1, triples2, seeds) ->
+    (refined1, refined2)`` (numpy arrays, executed executor-side per
+    batch) — the pluggable seam for alternate backbones (M5-M7: an
+    EAKit/GCN-Align/KGE trainer slots in here on a cluster that has
+    torch/TF; `models/wrapper.py:11-263`)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         def rows(kind):
@@ -394,7 +399,9 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
             emb1 = emb1[o1]
         if len(emb2):
             emb2 = emb2[o2]
-        if algo == "anchor":
+        if callable(algo):
+            r1, r2 = algo(ids1, emb1, ids2, emb2, t1, t2, sd)
+        elif algo == "anchor":
             r1, r2 = train_embeddings_anchor_np(
                 ids1, emb1, ids2, emb2, t1, t2, sd,
                 rounds=rounds, anchor_weight=anchor_weight,

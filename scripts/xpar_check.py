@@ -21,5 +21,21 @@ h = hashlib.md5(str(rows).encode()).hexdigest()
 e = name_channel.name_embedding_similarity(pair, k=10)
 rows2 = sorted((r.src, r.dst, round(r.sim, 9)) for r in e.collect())
 h2 = hashlib.md5(str(rows2).encode()).hexdigest()
-print(f"XPAR {master} string={h} n={len(rows)} embed={h2} n2={len(rows2)}")
+# structure channel: batched anchor trainer (applyInPandas) must also be
+# bit-identical — sorted edges/seeds fix the float accumulation order
+from largeea_spark.functions.vectors import encode_names
+from largeea_spark.plans.structure_channel import (
+    trained_batched_structure_similarity,
+)
+
+e1 = encode_names(name_channel.entity_names(pair.kg1.ent, False), "name",
+                  dim=32).select("id", "emb")
+e2 = encode_names(name_channel.entity_names(pair.kg2.ent, False), "name",
+                  dim=32).select("id", "emb")
+stru, _ = trained_batched_structure_similarity(pair, e1, e2, k_parts=3,
+                                               knn_k=10, algo="anchor")
+rows3 = sorted((r.src, r.dst, round(r.sim, 9)) for r in stru.collect())
+h3 = hashlib.md5(str(rows3).encode()).hexdigest()
+print(f"XPAR {master} string={h} n={len(rows)} embed={h2} n2={len(rows2)} "
+      f"structure={h3} n3={len(rows3)}")
 spark.stop()

@@ -145,6 +145,48 @@ def test_topk_corr_no_duplicate_pairs(spark):
     assert sim.count() > 0
 
 
+def test_trainer_pluggable_callable(spark):
+    """M5-M7 seam: a custom per-batch trainer callable (e.g. a torch
+    GNN on a real cluster) slots into train_batches; verified with a
+    numpy mock whose output is provably used."""
+    from largeea_spark.operators.trainer import pack_batch_payload, train_batches
+    from largeea_spark.operators.partition_kg import (
+        place_triples, seed_aware_partition,
+    )
+    from largeea_spark.functions.vectors import encode_names
+    from largeea_spark.plans.name_channel import entity_names
+
+    t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=60, n_triples=180,
+                                               n_links=40)
+    kg1, kg2 = encode_graph(t1), encode_graph(t2)
+    lk = encode_links(links, kg1.ent, kg2.ent, 0.3)
+    pair = KGPair(kg1=kg1, kg2=kg2, links=lk)
+    e1 = encode_names(entity_names(kg1.ent, False), "name", dim=8).select("id", "emb")
+    e2 = encode_names(entity_names(kg2.ent, False), "name", dim=8).select("id", "emb")
+    parts1, parts2 = seed_aware_partition(pair, 2, n_iter=2)
+    train = lk.where(F.col("split") == "train").select("e1", "e2")
+    placed1, _ = place_triples(kg1.triples, parts1)
+    placed2, _ = place_triples(kg2.triples, parts2)
+    batches = [(r.part, r.part) for r in parts1.select("part").distinct().collect()]
+    payload = pack_batch_payload(batches, parts1, parts2, placed1, placed2,
+                                 train, e1, e2)
+
+    def constant_trainer(ids1, emb1, ids2, emb2, t1_, t2_, sd):
+        # mock backbone: every embedding becomes [7, 0, ...] — provably
+        # NOT any built-in algorithm's output
+        out1 = np.zeros_like(emb1)
+        out2 = np.zeros_like(emb2)
+        if out1.size:
+            out1[:, 0] = 7.0
+        if out2.size:
+            out2[:, 0] = 7.0
+        return out1, out2
+
+    refined = train_batches(payload, algo=constant_trainer)
+    row = refined.first()
+    assert row["emb"][0] == 7.0 and all(v == 0.0 for v in row["emb"][1:])
+
+
 # ---------------------------------------------------------------------------
 # iterative semi-supervision (M4/M8)
 # ---------------------------------------------------------------------------
@@ -297,6 +339,39 @@ def test_encode_names_rejects_bad_encoder(spark):
     df = spark.createDataFrame([(0, "x")], "id long, name string")
     with pytest.raises(ValueError):
         encode_names(df, "name", encoder="bert")
+
+
+# ---------------------------------------------------------------------------
+# F13: CPM concatenated power means (complex-root parity)
+# ---------------------------------------------------------------------------
+
+def test_power_mean_pooling_complex_root_parity(spark):
+    """p=3 mean over negative values must follow the COMPLEX principal
+    root (reference gen_mean, text_utils.py:237-246): for vals [-8.0],
+    (mean((-8)³ʳᵈ... )) — directly: (( -8 )^3 mean)^(1/3).real — the
+    principal complex root of a negative is NOT the real cube root."""
+    from largeea_spark.functions.vectors import power_mean_pooling
+
+    e2w = spark.createDataFrame([(0, 10), (0, 11)], "ent_id long, word_id long")
+    wv = spark.createDataFrame(
+        [(10, [-8.0, 1.0]), (11, [-8.0, 2.0])], "word_id long, emb array<double>"
+    )
+    out = power_mean_pooling(e2w, wv, ps=(1.0, 3.0), include_minmax=True)
+    row = out.first()
+    got = np.array(row["emb"])
+    assert len(got) == 8  # 2 p-means + min + max, d=2
+    # p=1 block
+    assert np.allclose(got[0:2], [-8.0, 1.5])
+    # p=3 block: complex principal root semantics
+    expect_p3 = np.power(
+        np.mean(np.power(np.array([[-8.0, 1.0], [-8.0, 2.0]], dtype=complex), 3.0),
+                axis=0), 1 / 3.0).real
+    assert np.allclose(got[2:4], expect_p3)
+    # the real cube root of -512 mean would be -8; complex principal is +4
+    assert got[2] > 0
+    # min / max blocks
+    assert np.allclose(got[4:6], [-8.0, 1.0])
+    assert np.allclose(got[6:8], [-8.0, 2.0])
 
 
 # ---------------------------------------------------------------------------
