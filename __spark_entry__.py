@@ -731,6 +731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_power_means"] = emb_power_means
 
+    def doc_repetition_filter(spark, sf):  # Gopher-style repetition rules
+        from largeea_spark.operators.textstats import repetition_features
+
+        out = repetition_features(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+            "dup_line_frac", "top_bigram_share", "repetition_ok",
+        )
+
+    q["doc_repetition_filter"] = doc_repetition_filter
+
     def cc_components(spark, sf):  # large-star/small-star CC
         from largeea_spark.operators.canonical import connected_components
         from largeea_spark.operators.dedup import ngram_jaccard_pairs
@@ -1215,6 +1226,31 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS hits10,
                count(*)::BIGINT AS n_links
         FROM joined
+    """
+
+    o["doc_repetition_filter"] = f"""
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                 CASE WHEN len(lines) > 0
+                      THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                      ELSE 0.0 END AS dlf
+          FROM l),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+          FROM toks, generate_series(1, 256) AS g(i)
+          WHERE len(t) >= 2 AND i <= len(t) - 1),
+        per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM per GROUP BY 1)
+        SELECT base.doc_id, n_lines,
+               round(dlf, 6)::DOUBLE AS dup_line_frac,
+               round(coalesce(top_c::DOUBLE / n_bg, 0), 6)::DOUBLE AS top_bigram_share,
+               (dlf <= 0.3 AND coalesce(top_c::DOUBLE / n_bg, 0) <= 0.2) AS repetition_ok
+        FROM base LEFT JOIN top USING (doc_id)
     """
 
     # approximate-path hard gate: IVF recall@10 vs exact must be ≥ 0.8

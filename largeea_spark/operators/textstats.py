@@ -117,3 +117,68 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return docs.select(
         F.col(id_col), F.concat_ws("", bottom_k).alias("fingerprint")
     )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_dup_line_frac: float = 0.3, max_top_bigram_share: float = 0.2,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality filter (Rae et al. 2021 §A1.1
+    repetition rules; public heuristics): documents dominated by
+    repeated lines or by one word-bigram are low-quality boilerplate.
+
+    Returns (id, n_lines, dup_line_frac, top_bigram_share,
+    repetition_ok):
+      dup_line_frac    = 1 − distinct_lines / lines (empty text → 0)
+      top_bigram_share = max bigram count / bigram count (|toks|<2 → 0)
+      repetition_ok    = both under their thresholds
+
+    Plan: line stats are pure array expressions (codegen); the bigram
+    share is one explode + two hash aggregations with map-side combine —
+    scale-safe (no per-doc collect, no UDF)."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        tokenize_ws(c).alias("toks"),
+    )
+    toks = base.select("id", F.col("toks"))
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    top = per_bg.groupBy("id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    )
+    return (
+        base.drop("toks")
+        .join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("n_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_share"),
+            (
+                (F.col("dup_line_frac") <= max_dup_line_frac)
+                & (F.coalesce(F.col("top_c") / F.col("n_bg"), F.lit(0.0))
+                   <= max_top_bigram_share)
+            ).alias("repetition_ok"),
+        )
+    )

@@ -205,6 +205,12 @@ def align_kg_pair(
     for name, s in {**sims, "fused": fused}.items():
         metrics[name] = evalx.hits_and_mrr(s, test, ks=(1, 5, 50), n_src=n_src)
         store.log_metrics(f"eval_{name}", metrics[name])
+    # CSLS-rescored eval (the reference's test-time protocol, W7;
+    # `eval.py:82-129`, `models/rrea/CSLS.py:56-95`)
+    metrics["fused_csls"] = evalx.hits_and_mrr(
+        simops.csls_rescore(fused, k=10), test, ks=(1, 5, 50), n_src=n_src
+    )
+    store.log_metrics("eval_fused_csls", metrics["fused_csls"])
 
     # iterative semi-supervision (M4/M8): mine → conflict-filter →
     # re-train structure → re-fuse; metrics logged per round

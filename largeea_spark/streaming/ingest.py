@@ -52,3 +52,82 @@ def ingest_available_now(
     q.awaitTermination()
     n = spark.read.parquet(out_dir).count()
     return n
+
+
+def stream_dedup_documents(
+    spark: SparkSession, docs_dir: str, out_dir: str, checkpoint_dir: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    watermark_col: str | None = None, watermark: str = "1 hour",
+) -> int:
+    """Streaming exact dedup for a landing corpus: documents whose text
+    md5 was already seen are dropped ACROSS micro-batches
+    (``dropDuplicates`` keeps per-key state in the state store; with a
+    watermark column the state is bounded — the 100 TB knob).
+
+    Same semantics as the batch `operators.dedup.exact_duplicates`
+    keep-first rule, but incremental and exactly-once
+    (Trigger.AvailableNow + offset checkpoint). Returns total rows in
+    the deduplicated sink after this drain."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.schema(
+            f"{id_col} long, {text_col} string, lang string, source string,"
+            " n_chars long"
+        )
+        .format("parquet").load(docs_dir)
+        .withColumn("text_md5", F.md5(F.col(text_col)))
+    )
+    if watermark_col is not None:
+        docs = docs.withWatermark(watermark_col, watermark)
+        deduped = docs.dropDuplicates(["text_md5", watermark_col])
+    else:
+        deduped = docs.dropDuplicates(["text_md5"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str,
+    window: str = "1 hour", watermark: str = "2 hours",
+) -> int:
+    """Watermarked tumbling-window event counts (late data handled by
+    the watermark; append mode emits a window only once it's final) —
+    the standard Structured Streaming aggregation shape over the
+    `events` table schema. Returns finalized window rows written."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .format("parquet").load(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = ev.groupBy(
+        F.window("ts", window).alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type", "n", "total_value",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()

@@ -443,6 +443,84 @@ def test_random_partition_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition filter (line-dup rule needs multi-line docs)
+# ---------------------------------------------------------------------------
+
+def test_repetition_features_rules(spark):
+    from largeea_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a normal line\nanother line\nthird line"),
+            (1, "same\nsame\nsame\nsame"),                    # dup lines
+            (2, "buy now buy now buy now buy now"),            # one bigram
+            (3, ""),                                           # empty
+            (4, "single"),                                     # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert got[0].repetition_ok
+    assert got[1].dup_line_frac == 0.75 and not got[1].repetition_ok
+    # "buy now" bigram: tokens [buy now]*4 → bigrams 7, "buy now"=4,
+    # "now buy"=3 → share 4/7 > 0.2
+    assert got[2].top_bigram_share > 0.5 and not got[2].repetition_ok
+    assert got[3].n_lines == 0 and got[3].repetition_ok
+    assert got[4].top_bigram_share == 0.0 and got[4].repetition_ok
+
+
+# ---------------------------------------------------------------------------
+# streaming: exact dedup across micro-batches + watermarked window agg
+# ---------------------------------------------------------------------------
+
+def test_stream_dedup_documents(spark, tmp_path):
+    from largeea_spark.streaming.ingest import stream_dedup_documents
+
+    src = str(tmp_path / "docs_in")
+    rows1 = [(0, "alpha text", "en", "web", 10), (1, "beta text", "en", "web", 9),
+             (2, "alpha text", "en", "web", 10)]  # in-batch dup of 0
+    spark.createDataFrame(
+        rows1, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out, ckpt = str(tmp_path / "docs_out"), str(tmp_path / "docs_ckpt")
+    n1 = stream_dedup_documents(spark, src, out, ckpt)
+    assert n1 == 2  # one dup dropped
+    # second drain: a CROSS-batch dup + one new doc
+    spark.createDataFrame(
+        [(3, "beta text", "en", "web", 9), (4, "gamma text", "en", "web", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("append").parquet(src)
+    n2 = stream_dedup_documents(spark, src, out, ckpt)
+    assert n2 == 3  # only gamma added; cross-batch dup dropped via state
+
+
+def test_stream_windowed_event_counts(spark, tmp_path):
+    from largeea_spark.streaming.ingest import stream_windowed_event_counts
+
+    src = str(tmp_path / "ev_in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    out, ckpt = str(tmp_path / "ev_out"), str(tmp_path / "ev_ckpt")
+    n = stream_windowed_event_counts(spark, src, out, ckpt,
+                                     window="1 day", watermark="1 hour")
+    # events span ~30 days → all but the last watermark-held windows final
+    assert n > 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"window_start", "window_end", "event_type",
+                                "n", "total_value"}
+    # finalized windows must agree with a batch groupBy on the same cut
+    mx = got.agg(F.max("window_end")).first()[0]
+    batch = (
+        spark.read.parquet(src)
+        .where(F.col("ts") < mx)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .count()
+    )
+    assert got.count() == batch.count()
+    assert int(got.agg(F.sum("n")).first()[0]) == \
+        spark.read.parquet(src).where(F.col("ts") < mx).count()
+
+
+# ---------------------------------------------------------------------------
 # ADVICE C/D: tokenizer empty tokens, levenshtein null semantics
 # ---------------------------------------------------------------------------
 
