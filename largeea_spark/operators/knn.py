@@ -113,6 +113,87 @@ def knn_topk(
     return topk_per_row(per_cell, k, SRC)
 
 
+def knn_topk_grouped(
+    query: DataFrame, index: DataFrame, k: int = 50,
+    group_col: str = "batch", id_col: str = "id", emb_col: str = "emb",
+    block_rows: int = 100_000, query_block_rows: int = 25_000,
+    normalize: bool = True, gemm_chunk: int = 4096,
+) -> DataFrame:
+    """Exact per-group top-k in ONE cogrouped stage: queries only match
+    index rows sharing ``group_col`` (the batch id). Replaces a
+    driver-side loop of per-batch knn_topk calls — B batches become one
+    wide stage whose (group × query-block × index-block) cells all run
+    CONCURRENTLY on the cluster instead of as B sequential jobs, with
+    the same bounded per-task memory. Returns (src, dst, sim=1−L2²)
+    with src scored only against its own group's index side.
+
+    Per-pair sims are computed identically to knn_topk, and the final
+    per-src top-k uses the deterministic (sim desc, dst asc) tie-break —
+    results match a per-group loop of knn_topk up to exact-tie selection
+    at the k boundary (the loop's single-block path keeps argpartition
+    order there)."""
+    mx_i = index.groupBy(group_col).count().agg(F.max("count")).first()
+    mx_q = query.groupBy(group_col).count().agg(F.max("count")).first()
+    if mx_i is None or mx_i[0] is None or mx_q is None or mx_q[0] is None:
+        return query.sparkSession.createDataFrame(
+            [], f"{SRC} long, {DST} long, {SIM} double"
+        )
+    n_blocks = max(1, -(-int(mx_i[0]) // block_rows))
+    n_query_blocks = max(1, -(-int(mx_q[0]) // query_block_rows))
+
+    q = query.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("qemb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).cast("int").alias("qb"),
+    ).withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    ).withColumn("b", F.col("b").cast("int"))
+    x = index.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("xid"), F.col(emb_col).alias("xemb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    ).withColumn(
+        "qb", F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1)))
+    ).withColumn("qb", F.col("qb").cast("int"))
+
+    def score(left_it: pd.DataFrame, right_it: pd.DataFrame) -> pd.DataFrame:
+        if len(left_it) == 0 or len(right_it) == 0:
+            return pd.DataFrame({SRC: [], DST: [], SIM: []}).astype(
+                {SRC: "int64", DST: "int64", SIM: "float64"}
+            )
+        xm = _to_matrix(right_it["xemb"])
+        if normalize:
+            xm /= np.maximum(np.linalg.norm(xm, axis=1, keepdims=True), 1e-12)
+        xsq = (xm * xm).sum(axis=1)[None, :]
+        xid = right_it["xid"].to_numpy()
+        frames = []
+        for lo in range(0, len(left_it), gemm_chunk):
+            chunk = left_it.iloc[lo : lo + gemm_chunk]
+            qm = _to_matrix(chunk["qemb"])
+            if normalize:
+                qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            sims = 1.0 - (
+                (qm * qm).sum(axis=1)[:, None] + xsq - 2.0 * (qm @ xm.T)
+            )
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            frames.append(pd.DataFrame({
+                SRC: np.repeat(chunk["qid"].to_numpy(), kk),
+                DST: xid[part.ravel()],
+                SIM: np.take_along_axis(sims, part, axis=1).ravel(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    per_cell = (
+        q.groupBy("g", "qb", "b")
+        .cogroup(x.groupBy("g", "qb", "b"))
+        .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
+    )
+    from .simops import topk_per_row
+
+    return topk_per_row(per_cell, k, SRC)
+
+
 def ann_topk_lsh(
     query: DataFrame, index: DataFrame, k: int = 50,
     id_col: str = "id", emb_col: str = "emb",

@@ -128,20 +128,17 @@ def trained_batched_structure_similarity(
     r1 = refined.where(F.col("side") == 1).select("batch", "id", "emb")
     r2 = refined.where(F.col("side") == 2).select("batch", "id", "emb")
 
-    from ..operators.knn import knn_topk
+    from ..operators.knn import knn_topk_grouped
 
-    per_batch_sims = []
-    for p1 in sorted({p for p, _ in batches}):
-        # filter on the TRAINING batch id (= p1), not just entity
-        # membership: a KG2 part shared by two batches is trained twice
-        # and an id-only semi-join would pull both copies into the kNN
-        # index, double-adding duplicate (src,dst) rows in coalesce_sum.
-        e_b1 = r1.where(F.col("batch") == int(p1)).select("id", "emb")
-        e_b2 = r2.where(F.col("batch") == int(p1)).select("id", "emb")
-        sim_b = knn_topk(e_b1, e_b2, k=knn_k)
-        per_batch_sims.append(sim_b.localCheckpoint(eager=True))
-    fused = simops.coalesce_sum(_union_all(per_batch_sims))
-    return fused, {"batches": [{"p1": int(a), "p2": int(b)} for a, b in batches]}
+    # ONE grouped-cogroup stage scores every batch concurrently (the
+    # 1000-executor shape) instead of a sequential driver loop of
+    # per-batch kNN jobs. Grouping on the TRAINING batch id also
+    # guarantees each batch's kNN indexes exactly its own trained copy
+    # of any KG2 part shared by two batches (no double-added pairs),
+    # and each src lives in exactly one batch, so the output is already
+    # the accumulated sim (A10).
+    sim = knn_topk_grouped(r1, r2, k=knn_k, group_col="batch")
+    return sim, {"batches": [{"p1": int(a), "p2": int(b)} for a, b in batches]}
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:

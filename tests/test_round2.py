@@ -145,6 +145,31 @@ def test_topk_corr_no_duplicate_pairs(spark):
     assert sim.count() > 0
 
 
+def test_knn_topk_grouped_matches_per_group_loop(spark):
+    """The one-stage grouped kNN must equal a driver loop of per-group
+    knn_topk calls (same sims, same deterministic tie-break)."""
+    import random
+
+    from largeea_spark.operators.knn import knn_topk, knn_topk_grouped
+
+    rng = random.Random(3)
+    rows_q, rows_x = [], []
+    for g in (0, 1, 2):
+        for i in range(30):
+            rows_q.append((g, g * 100 + i, [rng.uniform(-1, 1) for _ in range(8)]))
+            rows_x.append((g, g * 100 + 50 + i, [rng.uniform(-1, 1) for _ in range(8)]))
+    q = spark.createDataFrame(rows_q, "batch int, id long, emb array<double>")
+    x = spark.createDataFrame(rows_x, "batch int, id long, emb array<double>")
+    got = {(r.src, r.dst): round(r.sim, 9)
+           for r in knn_topk_grouped(q, x, k=5, group_col="batch").collect()}
+    want = {}
+    for g in (0, 1, 2):
+        sub = knn_topk(q.where(F.col("batch") == g).select("id", "emb"),
+                       x.where(F.col("batch") == g).select("id", "emb"), k=5)
+        want.update({(r.src, r.dst): round(r.sim, 9) for r in sub.collect()})
+    assert got == want
+
+
 def test_trainer_pluggable_callable(spark):
     """M5-M7 seam: a custom per-batch trainer callable (e.g. a torch
     GNN on a real cluster) slots into train_batches; verified with a
