@@ -92,6 +92,77 @@ def propagate_embeddings(
     return cur
 
 
+def _norm_adj_grouped(triples: DataFrame, group_col: str) -> DataFrame:
+    """L9 per group: D^-1/2 A D^-1/2 within each group (batch) —
+    degrees never leak across groups. Returns (g, i, j, w)."""
+    und = triples.select(
+        F.col(group_col).alias("g"), F.col("src").alias("i"), F.col("dst").alias("j")
+    ).unionAll(
+        triples.select(F.col(group_col).alias("g"), F.col("dst").alias("i"),
+                       F.col("src").alias("j"))
+    ).groupBy("g", "i", "j").agg(F.count("*").cast("double").alias("m"))
+    deg = und.groupBy("g", "i").agg(F.sum("m").alias("d"))
+    dj = deg.select("g", F.col("i").alias("j"), F.col("d").alias("dj"))
+    return (
+        und.join(deg, ["g", "i"]).join(dj, ["g", "j"])
+        .select("g", "i", "j", (F.col("m") / F.sqrt(F.col("d") * F.col("dj"))).alias("w"))
+    )
+
+
+def propagate_embeddings_grouped(
+    triples: DataFrame, emb: DataFrame, n_layers: int = 2, alpha: float = 1.0,
+    group_col: str = "batch", dim: int | None = None,
+) -> DataFrame:
+    """Grouped variant of ``propagate_embeddings``: every batch's
+    propagation runs in the SAME stages, keyed by (group, id) — no
+    driver loop over batches, so B batches cost one job sequence
+    instead of B (the 1000-executor shape for `run_batched_ea`).
+
+    triples: (group, src, rel, dst) — already placed per batch;
+    emb: (group, id, emb) — an id may appear under several groups
+    (top_k_corr unions) and propagates independently in each.
+    Returns (group, id, emb)."""
+    from ..functions.vectors import l2_normalize_expr
+
+    adj = _norm_adj_grouped(triples, group_col).localCheckpoint(eager=True)
+    cur = emb.select(
+        F.col(group_col).alias("g"), "id",
+        F.col("emb").cast("array<double>").alias("emb"),
+    )
+    if dim is None:
+        row = cur.select(F.size("emb").alias("d")).first()
+        if row is None:
+            return emb
+        dim = int(row["d"])
+    for _ in range(n_layers):
+        msgs = (
+            adj.join(
+                cur.select("g", F.col("id").alias("j"), F.col("emb").alias("ej")),
+                ["g", "j"],
+            )
+            .groupBy("g", F.col("i").alias("id"))
+            .agg(*[
+                F.sum(F.col("w") * F.element_at("ej", k + 1)).alias(f"m{k}")
+                for k in range(dim)
+            ])
+            .select("g", "id",
+                    F.array(*[F.col(f"m{k}") for k in range(dim)]).alias("msg"))
+        )
+        cur = (
+            cur.join(msgs, ["g", "id"], "left")
+            .select(
+                "g", "id",
+                F.when(F.col("msg").isNull(), F.col("emb")).otherwise(
+                    F.zip_with("emb", "msg", lambda x, y: x + F.lit(alpha) * y)
+                ).alias("emb"),
+            )
+        )
+        cur = cur.select("g", "id", l2_normalize_expr("emb").alias("emb")).localCheckpoint(
+            eager=True
+        )
+    return cur.select(F.col("g").alias(group_col), "id", "emb")
+
+
 def inject_seeds(emb1: DataFrame, emb2: DataFrame, train: DataFrame
                  ) -> tuple[DataFrame, DataFrame]:
     """Seed injection: each train pair (e1,e2) replaces both vectors by

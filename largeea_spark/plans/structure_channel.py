@@ -9,18 +9,18 @@ DataFrame partitioner:
 
 Each batch touches only its partition's entities/triples, so executor
 memory per batch is bounded by the partition cap — the same memory
-contract METIS gives the reference's GPU. The driver loop is over ≤k
-batches of DataFrame jobs (◆); per-batch sims are unioned then
-coalesce-summed once.
+contract METIS gives the reference's GPU. There is NO driver loop over
+batches: propagation, training, and kNN are all grouped stages keyed by
+the batch id, so every batch executes concurrently and the batch count
+only widens the stages (the 1000-executor shape).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators import simops
 from ..operators.partition_kg import correspondence, place_triples, seed_aware_partition
-from ..operators.structure import inject_seeds, propagate_embeddings
+from ..operators.structure import inject_seeds
 from ..sources.kg import KGPair
 
 
@@ -48,53 +48,61 @@ def batched_structure_similarity(
 ) -> tuple[DataFrame, dict]:
     """Returns (sim IR accumulated over batches, stats).
 
-    stats: per-batch sizes + dropped-triple counts (J2 logging,
-    `sampler.py:212-227`)."""
+    Loop-free: every batch's propagation and kNN run in the SAME
+    grouped stages keyed by the batch id (propagate_embeddings_grouped
+    + knn_topk_grouped) — B batches cost one job sequence, not B
+    sequential driver jobs; all batches execute concurrently on a
+    cluster. stats: per-batch pairing + dropped-triple counts (J2
+    logging, `sampler.py:212-227`)."""
+    from ..operators.knn import knn_topk_grouped
+    from ..operators.structure import propagate_embeddings_grouped
+
+    spark = pair.kg1.ent.sparkSession
     parts1, parts2 = seed_aware_partition(pair, k_parts, n_iter=lp_iters, cap=cap)
     parts1 = parts1.localCheckpoint(eager=True)
     parts2 = parts2.localCheckpoint(eager=True)
     batches = _corr_batches(pair, parts1, parts2, top_k_corr)
+    corr = spark.createDataFrame(
+        sorted({(int(a), int(b)) for a, b in batches}), "p1 int, p2 int"
+    )
+    corr1 = corr.select("p1").distinct()
 
     train = pair.links.where(F.col("split") == "train")
     placed1, drop1 = place_triples(pair.kg1.triples, parts1)
     placed2, drop2 = place_triples(pair.kg2.triples, parts2)
-    placed1 = placed1.localCheckpoint(eager=True)
-    placed2 = placed2.localCheckpoint(eager=True)
 
     e1_seeded, e2_seeded = inject_seeds(base_emb1, base_emb2, train)
-    e1_seeded = e1_seeded.localCheckpoint(eager=True)
-    e2_seeded = e2_seeded.localCheckpoint(eager=True)
 
-    from ..operators.knn import knn_topk
+    # batch-tagged sides: KG1 rows once per batch (=src part); KG2 rows
+    # once per (batch, member trg part) — top_k_corr unions replicate a
+    # trg part's rows into each batch that pairs with it
+    b1 = parts1.join(corr1, parts1.part == corr1.p1).select(
+        F.col("p1").alias("batch"), "id"
+    )
+    b2 = parts2.join(corr, parts2.part == corr.p2).select(
+        F.col("p1").alias("batch"), "id"
+    )
+    emb_b1 = b1.join(e1_seeded, "id").select("batch", "id", "emb")
+    emb_b2 = b2.join(e2_seeded, "id").select("batch", "id", "emb")
+    t_b1 = placed1.join(corr1, placed1.part == corr1.p1).select(
+        F.col("p1").alias("batch"), "src", "rel", "dst"
+    )
+    t_b2 = placed2.join(corr, placed2.part == corr.p2).select(
+        F.col("p1").alias("batch"), "src", "rel", "dst"
+    )
+    prop1 = propagate_embeddings_grouped(t_b1, emb_b1, n_layers)
+    prop2 = propagate_embeddings_grouped(t_b2, emb_b2, n_layers)
+    sim = knn_topk_grouped(prop1, prop2, k=knn_k, group_col="batch")
 
     grouped: dict[int, list[int]] = {}
     for p1, p2 in sorted(batches):
         grouped.setdefault(p1, []).append(p2)
-
-    per_batch_sims = []
-    stats = {"batches": [], "dropped_triples": drop1 + drop2}
-    for p1, p2s in sorted(grouped.items()):
-        ents_b1 = parts1.where(F.col("part") == p1).select("id")
-        ents_b2 = parts2.where(F.col("part").isin(p2s)).select("id")
-        t_b1 = placed1.where(F.col("part") == p1).drop("part")
-        t_b2 = placed2.where(F.col("part").isin(p2s)).drop("part")
-        emb_b1 = e1_seeded.join(ents_b1, "id", "left_semi")
-        emb_b2 = e2_seeded.join(ents_b2, "id", "left_semi")
-        prop1 = propagate_embeddings(t_b1, emb_b1, n_layers)
-        # entities with no in-batch triples keep their seeded embedding
-        prop1 = prop1.unionByName(
-            emb_b1.join(prop1.select("id"), "id", "left_anti")
-        )
-        prop2 = propagate_embeddings(t_b2, emb_b2, n_layers)
-        prop2 = prop2.unionByName(
-            emb_b2.join(prop2.select("id"), "id", "left_anti")
-        )
-        sim_b = knn_topk(prop1, prop2, k=knn_k)
-        per_batch_sims.append(sim_b.localCheckpoint(eager=True))
-        stats["batches"].append({"p1": int(p1), "p2": [int(p) for p in p2s]})
-
-    fused = simops.coalesce_sum(_union_all(per_batch_sims))
-    return fused, stats
+    stats = {
+        "batches": [{"p1": int(p), "p2": [int(x) for x in v]}
+                    for p, v in sorted(grouped.items())],
+        "dropped_triples": drop1 + drop2,
+    }
+    return sim, stats
 
 
 def trained_batched_structure_similarity(
@@ -140,9 +148,3 @@ def trained_batched_structure_similarity(
     sim = knn_topk_grouped(r1, r2, k=knn_k, group_col="batch")
     return sim, {"batches": [{"p1": int(a), "p2": int(b)} for a, b in batches]}
 
-
-def _union_all(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
