@@ -262,7 +262,7 @@ def ann_topk_lsh(
         .cogroup(xb.groupBy("bucket"))
         .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
     )
-    from .simops import coalesce_sum, topk_per_row
+    from .simops import topk_per_row
 
     # probes can produce duplicate (src,dst) — keep the max-sim copy
     dedup = per_bucket.groupBy(SRC, DST).agg(F.max(SIM).alias(SIM))

@@ -14,7 +14,6 @@ analogue (EntTokenInfo TF-IDF, `text_utils.py:24-89`).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import evalx, simops
 from ..operators.canonical import canonical_ids
 from ..operators.ids import assign_dense_ids
-from ..sources.kg import KGPair, encode_graph, encode_links
+from ..sources.kg import KGPair
 from ..sources.stage import StageStore
 from . import extract, name_channel
 
