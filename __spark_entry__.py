@@ -495,6 +495,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_recall_gate"] = emb_ivf_recall_gate
 
+    def lowrank_topk_gate(spark, sf):  # L5: exact recovery at full rank
+        # the 500×500 cosine matrix from dim-64 embeddings has rank ≤ 65,
+        # so rank-80 randomized factorization must reproduce the exact
+        # top-5 pair set; the oracle pins the mismatch count at 0.
+        from largeea_spark.functions.vectors import cosine_expr
+        from largeea_spark.operators.lowrank import low_rank_sim_topk
+        from largeea_spark.operators.simops import topk_per_row
+
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"))
+        b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"))
+        # keep the diagonal: excluding it adds a rank-n perturbation that
+        # destroys the matrix's low-rank structure; self-pairs appear in
+        # both the exact and the approximate top-k consistently
+        ir = a.crossJoin(b).select(
+            "src", "dst", cosine_expr("ea", "eb").alias("sim")
+        )
+        exact = topk_per_row(ir, 5, "src").select("src", "dst")
+        approx = low_rank_sim_topk(ir, rank=80, n_iter=2, k=5).select("src", "dst")
+        mismatch = exact.exceptAll(approx).count() + approx.exceptAll(exact).count()
+        return spark.createDataFrame([(mismatch,)], "n_mismatch long")
+
+    q["lowrank_topk_gate"] = lowrank_topk_gate
+
     def emb_label_centroids(spark, sf):  # A5 scatter-mean over arrays
         e = _t(spark, sf, "embeddings")
         flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
@@ -1260,6 +1286,10 @@ def oracle_sql() -> dict[str, str]:
                (count(*) * 10)::BIGINT AS n_exact
         FROM embeddings
     """
+
+    # L5 exactness invariant: rank-80 ≥ rank(cosine matrix)=65 → the
+    # randomized low-rank top-k must equal the exact top-k
+    o["lowrank_topk_gate"] = "SELECT 0::BIGINT AS n_mismatch"
 
     # engine-vs-engine invariant: blocked exact kNN ≡ brute force.
     # The Spark query returns the symmetric-difference count of the two

@@ -38,9 +38,12 @@ def knn_topk(
     block_rows: int = 100_000, query_block_rows: int = 25_000,
     normalize: bool = True,
     n_blocks: int | None = None, n_query_blocks: int | None = None,
-    gemm_chunk: int = 4096,
+    gemm_chunk: int = 4096, metric: str = "l2sim",
 ) -> DataFrame:
-    """Exact top-k: returns (src=query id, dst=index id, sim=1−L2²).
+    """Exact top-k: returns (src=query id, dst=index id, sim).
+
+    ``metric``: 'l2sim' (default, 1−L2² — faiss parity) or 'dot'
+    (raw inner product, used by the low-rank reconstruction path L5).
 
     2-D grid block-nested-loop: index hashed into ``n_blocks`` blocks,
     queries into ``n_query_blocks``; each (query-block × index-block)
@@ -88,10 +91,13 @@ def knn_topk(
             qm = _to_matrix(chunk["qemb"])
             if normalize:
                 qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-            # sim = 1 − ||q−x||² = 1 − (|q|² + |x|² − 2 q·x)  (faiss parity)
-            sims = 1.0 - (
-                (qm * qm).sum(axis=1)[:, None] + xsq - 2.0 * (qm @ xm.T)
-            )
+            if metric == "dot":
+                sims = qm @ xm.T
+            else:
+                # sim = 1 − ||q−x||² = 1 − (|q|² + |x|² − 2 q·x)  (faiss parity)
+                sims = 1.0 - (
+                    (qm * qm).sum(axis=1)[:, None] + xsq - 2.0 * (qm @ xm.T)
+                )
             kk = min(k, sims.shape[1])
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             frames.append(pd.DataFrame({

@@ -145,6 +145,36 @@ def test_topk_corr_no_duplicate_pairs(spark):
     assert sim.count() > 0
 
 
+def test_low_rank_sim_topk_exact_at_full_rank(spark):
+    """L5: when rank ≥ rank(M), the low-rank top-k equals the exact
+    top-k of the sparse sim matrix (here M = AᵀB with inner dim 8 →
+    rank ≤ 8; request rank 12)."""
+    import random
+
+    from largeea_spark.operators.lowrank import low_rank_sim_topk
+    from largeea_spark.operators.simops import topk_per_row
+
+    rng = random.Random(5)
+    n, m, d = 60, 40, 8
+    a = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+    b = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(m)]
+    rows = []
+    for i in range(n):
+        for j in range(m):
+            rows.append((i, j, sum(x * y for x, y in zip(a[i], b[j]))))
+    ir = spark.createDataFrame(rows, "src long, dst long, sim double")
+    exact = {(r.src, r.dst) for r in topk_per_row(ir, 5, "src").collect()}
+    approx = low_rank_sim_topk(ir, rank=12, n_iter=2, k=5)
+    got = {(r.src, r.dst) for r in approx.collect()}
+    # identical pair sets (ties are measure-zero on random floats) and
+    # reconstructed values match the true sims
+    assert got == exact
+    vals = {(r.src, r.dst): r.sim for r in approx.collect()}
+    true = {(i, j): s for i, j, s in rows}
+    for key, v in vals.items():
+        assert abs(v - true[key]) < 1e-8
+
+
 def test_knn_topk_grouped_matches_per_group_loop(spark):
     """The one-stage grouped kNN must equal a driver loop of per-group
     knn_topk calls (same sims, same deterministic tie-break)."""
