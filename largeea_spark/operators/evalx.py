@@ -70,7 +70,9 @@ def hits_and_mrr(
             F.avg(F.when(F.col("rank") <= k, 1.0).otherwise(0.0)).alias(f"hits@{k}")
         )
     row = joined.agg(*aggs).first().asDict()
-    return {k: float(v) for k, v in row.items()}
+    # zero gold links → SQL avg returns null; report 0.0 (cf. sparse_acc
+    # empty-denominator behavior, eval.py:133-148)
+    return {k: (float(v) if v is not None else 0.0) for k, v in row.items()}
 
 
 def precision_recall_f1(pred_pairs: DataFrame, gold_pairs: DataFrame,

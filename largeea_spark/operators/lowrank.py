@@ -116,6 +116,8 @@ def low_rank_sim_topk(
     products too large to top-k directly. Returns (src, dst, sim IR)
     with sim = the reconstructed (approximate) value."""
     ir = sim_ir.select(SRC, DST, SIM).localCheckpoint(eager=True)
+    if ir.isEmpty():
+        return ir
     omega = _sign_vectors(ir.select(DST).distinct(), DST, rank, seed)
     y = _ir_matmul(ir, omega, DST, SRC, rank).localCheckpoint(eager=True)
     width = rank
