@@ -131,3 +131,45 @@ def stream_windowed_event_counts(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+def stream_sessionize_events(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str,
+    gap_minutes: float = 30.0, watermark: str = "2 hours",
+) -> int:
+    """Streaming gap-based sessionization via the built-in
+    ``session_window`` aggregation (stateful merging session windows;
+    state bounded by the watermark) — the incremental counterpart of the
+    batch ``operators.events.sessionize``. Emits one row per finalized
+    (user, session): session bounds + event count + value sum. Returns
+    finalized session rows written after this drain."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .format("parquet").load(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    gap = f"{int(gap_minutes * 60)} seconds"
+    agg = ev.groupBy(
+        F.session_window("ts", gap).alias("w"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    out = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events", "total_value",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()

@@ -549,6 +549,47 @@ def test_stream_dedup_documents(spark, tmp_path):
     assert n2 == 3  # only gamma added; cross-batch dup dropped via state
 
 
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Finalized streaming sessions (session_window + watermark) must
+    agree with the batch sessionize on session count and membership for
+    users whose activity ended before the watermark cut."""
+    from largeea_spark.operators.events import sessionize
+    from largeea_spark.streaming.ingest import stream_sessionize_events
+
+    src = str(tmp_path / "sess_in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    n = stream_sessionize_events(spark, src, out, ckpt,
+                                 gap_minutes=30.0, watermark="1 hour")
+    assert n > 0
+    got = spark.read.parquet(out)
+    # watermark cut: sessions ending before (max ts − 1h) are final
+    ev = spark.read.parquet(src)
+    mx = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cut = mx - datetime.timedelta(hours=1)
+    batch = sessionize(ev, gap_minutes=30.0)
+    batch_sessions = (
+        batch.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("end_ts"),
+             F.min("ts").alias("start_ts"))
+        # session_window's end = last event + gap — apply the same
+        # definition so both sides use the identical watermark cut
+        .where(F.col("end_ts") + F.expr("INTERVAL 30 MINUTES") < cut)
+    )
+    got_final = got.where(F.col("session_end") < cut)
+    assert got_final.count() == batch_sessions.count()
+    # event counts per (user, session start) agree
+    j = got_final.join(
+        batch_sessions,
+        (got_final.user_id == batch_sessions.user_id)
+        & (got_final.session_start == batch_sessions.start_ts),
+    )
+    assert j.where(got_final.n_events != batch_sessions.n_events).count() == 0
+    assert j.count() == got_final.count()
+
+
 def test_stream_windowed_event_counts(spark, tmp_path):
     from largeea_spark.streaming.ingest import stream_windowed_event_counts
 
