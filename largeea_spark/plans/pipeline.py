@@ -230,7 +230,6 @@ def align_kg_pair(
         )
         metrics[f"fused_r{r}"] = evalx.hits_and_mrr(fused, test, ks=(1, 5, 50), n_src=n_src)
         store.log_metrics(f"eval_fused_r{r}", metrics[f"fused_r{r}"])
-    metrics["fused"] = evalx.hits_and_mrr(fused, test, ks=(1, 5, 50), n_src=n_src) \
-        if it_rounds > 1 else metrics["fused"]
+        metrics["fused"] = metrics[f"fused_r{r}"]  # final = last round
 
     return {"sims": sims, "fused": fused, "seeds": seeds, "metrics": metrics}

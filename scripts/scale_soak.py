@@ -72,15 +72,36 @@ def main():
     for name, s in {**sims, "fused": fused}.items():
         metrics[name] = evalx.hits_and_mrr(s, test, ks=(1, 5), n_src=n_src)
     times["eval"] = time.time() - t0
+
+    # iterative semi-supervision round 2 (M4/M8): mine → conflict-filter
+    # → re-train → re-fuse — the scale behavior of the bootstrap
+    t0 = time.time()
+    train = lk.where(F.col("split") == "train").select("e1", "e2")
+    mined = (
+        simops.margin_mutual_pairs(fused, 0.05)
+        .select(F.col("src").alias("e1"), F.col("dst").alias("e2"))
+        .join(train.select("e1"), "e1", "left_anti")
+        .join(train.select("e2"), "e2", "left_anti")
+    )
+    boosted = KGPair(
+        kg1=kg1, kg2=kg2,
+        links=train.unionByName(mined).distinct().withColumn("split", F.lit("train")),
+    )
+    stru2, _ = trained_batched_structure_similarity(
+        boosted, e1, e2, k_parts=k_parts, knn_k=50, algo="anchor"
+    )
+    fused2 = simops.fuse([stru2, name_sim], [1.0, 1.0]).localCheckpoint(eager=True)
+    metrics["fused_semi"] = evalx.hits_and_mrr(fused2, test, ks=(1, 5), n_src=n_src)
+    times["semi_r2"] = time.time() - t0
     total = sum(times.values())
 
     line = (
         f"| {n_ents} | {k_parts} | {len(stats['batches'])} | "
         f"{t_gen:.0f} | "
-        + " | ".join(f"{times[k]:.0f}" for k in ("string", "embed", "structure", "fuse", "eval"))
+        + " | ".join(f"{times[k]:.0f}" for k in ("string", "embed", "structure", "fuse", "eval", "semi_r2"))
         + f" | {total:.0f} | "
-        + " | ".join(f"{metrics[k]['hits@1']:.4f}" for k in ("string", "embed", "structure", "fused"))
-        + f" | {metrics['fused']['MRR']:.4f} |"
+        + " | ".join(f"{metrics[k]['hits@1']:.4f}" for k in ("string", "embed", "structure", "fused", "fused_semi"))
+        + f" | {metrics['fused_semi']['MRR']:.4f} |"
     )
     header_needed = not os.path.exists("/root/repo/SCALE.md")
     with open("/root/repo/SCALE.md", "a") as f:
@@ -88,13 +109,15 @@ def main():
             f.write(
                 "# SCALE — alignment soak at growing fixture sizes\n\n"
                 "Full two-channel alignment (string + embedding + batched\n"
-                "anchor structure, fused at weight 1.0) on local[32]/sp32.\n"
+                "anchor structure, fused at weight 1.0) on local[32]/sp32,\n"
+                "plus one iterative semi-supervision round (M4/M8).\n"
                 "Times in seconds (fixture gen excluded from total of the\n"
                 "engine stages). Reproduce: `python scripts/scale_soak.py N`.\n\n"
                 "| ents/KG | k_parts | batches | gen | string | embed |"
-                " structure | fuse | eval | total | H@1 str | H@1 emb |"
-                " H@1 stru | H@1 fused | MRR fused |\n"
-                "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+                " structure | fuse | eval | semi r2 | total | H@1 str |"
+                " H@1 emb | H@1 stru | H@1 fused | H@1 semi r2 |"
+                " MRR semi r2 |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
             )
         f.write(line + "\n")
     print(line)
