@@ -323,7 +323,9 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
     if alignment:
         lines += [
             "",
-            "## Alignment quality (500-entity fixture, QUALITY.md recipe)",
+            "## Alignment quality (500-entity fixture, QUALITY.md recipe"
+            " minus the token channel — hence fused here ≠ QUALITY.md's"
+            " fused by a small margin)",
             "",
             "| channel | Hits@1 | MRR |",
             "|---|---|---|",
