@@ -91,3 +91,71 @@ class StageStore:
 
     def metrics(self) -> DataFrame:
         return self.read("_metrics")
+
+
+class TableStageStore(StageStore):
+    """Catalog-table-backed variant (north rule: "materialization back
+    to Iceberg"): stages live as CATALOG TABLES (``namespace.stage``)
+    written with ``saveAsTable`` and resumed via
+    ``spark.catalog.tableExists`` — on a cluster with an Iceberg catalog
+    (``fmt='iceberg'``) each write is an Iceberg snapshot with ACID
+    overwrite + time travel; in this sandbox (no Iceberg jars) the SAME
+    code path runs against the built-in catalog with ``fmt='parquet'``,
+    which is what the tests exercise. Lineage/metrics land in
+    ``<stage>__lineage`` / ``_metrics`` tables in the same namespace."""
+
+    def __init__(self, spark: SparkSession, namespace: str,
+                 fmt: str = "parquet"):
+        super().__init__(spark, root=namespace, fmt=fmt)
+        self.ns = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+
+    def _table(self, name: str) -> str:
+        return f"{self.ns}.{name.replace('-', '_')}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._table(name))
+
+    def write(self, name: str, df: DataFrame,
+              partition_by: list[str] | None = None) -> DataFrame:
+        t0 = time.time()
+        w = df.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(self._table(name))
+        out = self.read(name)
+        lin_t0 = time.time() - t0
+        first_col = out.columns[0]
+        lin = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.min(F.col(first_col).cast("string")).alias("min_key"),
+                F.max(F.col(first_col).cast("string")).alias("max_key"),
+            )
+            .withColumn("stage", F.lit(name))
+            .withColumn("wall_sec", F.lit(round(lin_t0, 3)))
+            .withColumn("written_at", F.current_timestamp())
+        )
+        lin.write.format(self.fmt).mode("overwrite").saveAsTable(
+            self._table(f"{name}__lineage")
+        )
+        return out
+
+    def lineage(self, name: str) -> DataFrame:
+        return self.read(f"{name}__lineage")
+
+    def log_metrics(self, stage: str, metrics: dict) -> None:
+        row = self.spark.createDataFrame(
+            [(stage, json.dumps(metrics, sort_keys=True, default=str))],
+            "stage string, metrics string",
+        ).withColumn("logged_at", F.current_timestamp())
+        row.write.format(self.fmt).mode("append").saveAsTable(
+            self._table("_metrics".lstrip("_") + "_log")
+        )
+
+    def metrics(self) -> DataFrame:
+        return self.read("metrics_log")

@@ -498,6 +498,40 @@ def test_random_partition_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
+# catalog-table stage store (the Iceberg materialization path)
+# ---------------------------------------------------------------------------
+
+def test_table_stage_store_construct_resume(spark, tmp_path):
+    """Full construct pipeline against CATALOG TABLES (saveAsTable /
+    spark.table / tableExists) — the code path that is Iceberg snapshots
+    on a real cluster. Resume must be a metadata read; lineage +
+    metrics land as tables in the namespace."""
+    from largeea_spark.plans.pipeline import construct_kg_from_pages
+    from largeea_spark.sources.stage import TableStageStore
+
+    # (spark.sql.warehouse.dir is a static conf — tables land in the
+    # session's default warehouse; the finally block drops everything)
+    pages, gold = fixtures.web_pages_fixture(spark, n_pages=80)
+    store = TableStageStore(spark, "kg_soak_ns")
+    try:
+        out = construct_kg_from_pages(spark, pages, store)
+        n = out["kg"].count()
+        assert n > 0
+        assert store.lineage("triples").count() > 0
+        assert store.metrics().count() >= 1
+        # resume: rebuild returns identical counts without rebuilding
+        out2 = construct_kg_from_pages(spark, pages, store)
+        assert out2["kg"].count() == n
+        # stages are real catalog tables
+        tables = {t.name for t in spark.catalog.listTables("kg_soak_ns")}
+        assert "kg_canonical" in tables and "triples__lineage" in tables
+    finally:
+        for t in spark.catalog.listTables("kg_soak_ns"):
+            spark.sql(f"DROP TABLE IF EXISTS kg_soak_ns.{t.name}")
+        spark.sql("DROP NAMESPACE IF EXISTS kg_soak_ns")
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition filter (line-dup rule needs multi-line docs)
 # ---------------------------------------------------------------------------
 
