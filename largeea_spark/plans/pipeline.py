@@ -107,6 +107,7 @@ def align_kg_pair(
     structure_weight: float = 1.0, k_parts: int = 4,
     structure_impl: str = "batched", structure_algo: str = "anchor",
     top_k_corr: int = 1, it_rounds: int = 1, semi_margin: float = 0.05,
+    knn_method: str = "brute",
 ) -> dict:
     """Two-KG alignment, reference phase order (`main.py:242-369`):
     name channel (string+embedding) → structure channel → fusion → eval.
@@ -136,7 +137,10 @@ def align_kg_pair(
 
     sim_string = store.checkpoint("sim_string", build_string)
     sim_embed = store.checkpoint(
-        "sim_embed", lambda: name_channel.name_embedding_similarity(pair, k=knn_k, dim=emb_dim)
+        "sim_embed",
+        lambda: name_channel.name_embedding_similarity(
+            pair, k=knn_k, dim=emb_dim, method=knn_method
+        ),
     )
     seeds = store.checkpoint(
         "semi_seeds", lambda: name_channel.semi_seeds(sim_embed, sim_string)

@@ -498,6 +498,31 @@ def test_random_partition_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF name channel: scale path within tolerance of brute force
+# ---------------------------------------------------------------------------
+
+def test_name_channel_ivf_within_tolerance(spark):
+    from largeea_spark.operators import evalx
+    from largeea_spark.plans.name_channel import name_embedding_similarity
+
+    t1, t2, links, _ = fixtures.two_kg_fixture(spark, n_ents=400, n_triples=1200,
+                                               n_links=300)
+    kg1, kg2 = encode_graph(t1), encode_graph(t2)
+    lk = encode_links(links, kg1.ent, kg2.ent, 0.2)
+    pair = KGPair(kg1=kg1, kg2=kg2, links=lk)
+    test = lk.where(F.col("split") == "test")
+    brute = name_embedding_similarity(pair, k=20)
+    ivf = name_embedding_similarity(pair, k=20, method="ivf", nlist=8, nprobe=4)
+    mb = evalx.hits_and_mrr(brute, test, ks=(1,), n_src=400)
+    mi = evalx.hits_and_mrr(ivf, test, ks=(1,), n_src=400)
+    assert mi["hits@1"] >= mb["hits@1"] - 0.05, (mi, mb)
+    # determinism: re-run identical
+    ivf2 = name_embedding_similarity(pair, k=20, method="ivf", nlist=8, nprobe=4)
+    assert abs(evalx.hits_and_mrr(ivf2, test, ks=(1,), n_src=400)["hits@1"]
+               - mi["hits@1"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
 # AllPairs prefix filtering ≡ posting join (exact), incl. hot shingles
 # ---------------------------------------------------------------------------
 
