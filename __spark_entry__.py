@@ -1267,9 +1267,12 @@ def oracle_sql() -> dict[str, str]:
           FROM l),
         toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         bg AS (
+          -- unnest(range(..)) supports lateral column refs where
+          -- generate_series doesn't: bound follows each doc's length
+          -- (no silent 256-token cap)
           SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
-          FROM toks, generate_series(1, 256) AS g(i)
-          WHERE len(t) >= 2 AND i <= len(t) - 1),
+          FROM toks, unnest(range(1, greatest(len(t), 1))) AS g(i)
+          WHERE len(t) >= 2),
         per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
         top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM per GROUP BY 1)
         SELECT base.doc_id, n_lines,

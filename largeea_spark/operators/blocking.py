@@ -46,6 +46,10 @@ def _cap_buckets(bk: DataFrame, max_bucket: int, stats: dict | None = None,
                  side: int = 0) -> DataFrame:
     counts = bk.groupBy("band", "key").count()
     if stats is not None:
+        # materialize the counts ONCE (localCheckpoint) so the eager
+        # stats action and the keep filter share one band-key groupBy
+        # instead of paying the shuffle twice for observability
+        counts = counts.localCheckpoint(eager=True)
         row = (
             counts.where(F.col("count") > max_bucket)
             .agg(F.count("*").alias("nb"),

@@ -231,12 +231,20 @@ def place_triples(triples: DataFrame, parts: DataFrame) -> tuple[DataFrame, int]
     the assignment, keep only co-partitioned triples, count the drops."""
     ph = parts.select(F.col("id").alias("src"), F.col("part").alias("p_h"))
     pt = parts.select(F.col("id").alias("dst"), F.col("part").alias("p_t"))
-    placed = triples.join(ph, "src").join(pt, "dst")
+    # materialize the double join ONCE; total + co-partitioned counts in
+    # one aggregation pass (was: two .count() jobs re-running the join,
+    # plus a third execution when the caller consumed `kept`)
+    placed = triples.join(ph, "src").join(pt, "dst").localCheckpoint(eager=True)
+    row = placed.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum((F.col("p_h") == F.col("p_t")).cast("long")), F.lit(0)
+        ).alias("k"),
+    ).first()
     kept = placed.where(F.col("p_h") == F.col("p_t")).select(
         "src", "rel", "dst", F.col("p_h").alias("part")
     )
-    dropped = placed.count() - kept.count()
-    return kept, dropped
+    return kept, int(row["n"]) - int(row["k"])
 
 
 def correspondence(links: DataFrame, parts1: DataFrame, parts2: DataFrame,

@@ -43,6 +43,42 @@ def _norm_adj(triples: DataFrame) -> DataFrame:
     )
 
 
+# max aggregate expressions per groupBy: above this the adjacency
+# multiply runs in dim/_DIM_CHUNK chunked passes joined back on the key
+# (a flat 768-column agg at BERT d=768 risks whole-stage-codegen
+# fallback / constant-pool blowup; 128 columns is comfortably inside it)
+_DIM_CHUNK = 128
+
+
+def _msg_agg(joined: DataFrame, keys: list, dim: int,
+             chunk: int = _DIM_CHUNK) -> DataFrame:
+    """(keys…, w, ej[dim]) → (keys…, msg[dim]) where
+    msg[k] = Σ w·ej[k], chunked to ≤``chunk`` agg columns per groupBy.
+    The d=768 guard: each chunked pass re-joins on the (checkpointed)
+    inputs and the chunk results are equi-joined back on the keys —
+    dim/chunk bounded shuffles instead of one unbounded-width agg."""
+
+    def one(lo: int, hi: int, name: str) -> DataFrame:
+        return (
+            joined.groupBy(*keys)
+            .agg(*[
+                F.sum(F.col("w") * F.element_at("ej", k + 1)).alias(f"m{k}")
+                for k in range(lo, hi)
+            ])
+            .select(*keys, F.array(*[F.col(f"m{k}") for k in range(lo, hi)]).alias(name))
+        )
+
+    if dim <= chunk:
+        return one(0, dim, "msg")
+    los = list(range(0, dim, chunk))
+    out = one(0, min(chunk, dim), "msg_0")
+    for lo in los[1:]:
+        out = out.join(one(lo, min(lo + chunk, dim), f"msg_{lo}"), keys)
+    return out.select(
+        *keys, F.concat(*[F.col(f"msg_{lo}") for lo in los]).alias("msg")
+    )
+
+
 def propagate_embeddings(
     triples: DataFrame, emb: DataFrame, n_layers: int = 2, alpha: float = 1.0,
     dim: int | None = None,
@@ -55,7 +91,8 @@ def propagate_embeddings(
     map-side partial aggregation reducing it toward |V|·d values), not
     the |E|·d exploded rows of the earlier (id, pos, x) formulation — a
     ~d× (64-128×) shuffle-byte reduction at DBP1M scale. Normalization
-    is a JVM-side aggregate expression; no UDF anywhere."""
+    is a JVM-side aggregate expression; no UDF anywhere. Above
+    ``_DIM_CHUNK`` dims (BERT d=768) the agg runs chunked (`_msg_agg`)."""
     from ..functions.vectors import l2_normalize_expr
 
     adj = _norm_adj(triples).localCheckpoint(eager=True)
@@ -66,17 +103,10 @@ def propagate_embeddings(
             return cur
         dim = int(row["d"])
     for _ in range(n_layers):
-        msgs = (
-            adj.join(
-                cur.select(F.col("id").alias("j"), F.col("emb").alias("ej")), "j"
-            )
-            .groupBy(F.col("i").alias("id"))
-            .agg(*[
-                F.sum(F.col("w") * F.element_at("ej", k + 1)).alias(f"m{k}")
-                for k in range(dim)
-            ])
-            .select("id", F.array(*[F.col(f"m{k}") for k in range(dim)]).alias("msg"))
-        )
+        joined = adj.join(
+            cur.select(F.col("id").alias("j"), F.col("emb").alias("ej")), "j"
+        ).select(F.col("i").alias("id"), "w", "ej")
+        msgs = _msg_agg(joined, ["id"], dim)
         cur = (
             cur.join(msgs, "id", "left")
             .select(
@@ -135,19 +165,11 @@ def propagate_embeddings_grouped(
             return emb
         dim = int(row["d"])
     for _ in range(n_layers):
-        msgs = (
-            adj.join(
-                cur.select("g", F.col("id").alias("j"), F.col("emb").alias("ej")),
-                ["g", "j"],
-            )
-            .groupBy("g", F.col("i").alias("id"))
-            .agg(*[
-                F.sum(F.col("w") * F.element_at("ej", k + 1)).alias(f"m{k}")
-                for k in range(dim)
-            ])
-            .select("g", "id",
-                    F.array(*[F.col(f"m{k}") for k in range(dim)]).alias("msg"))
-        )
+        joined = adj.join(
+            cur.select("g", F.col("id").alias("j"), F.col("emb").alias("ej")),
+            ["g", "j"],
+        ).select("g", F.col("i").alias("id"), "w", "ej")
+        msgs = _msg_agg(joined, ["g", "id"], dim)
         cur = (
             cur.join(msgs, ["g", "id"], "left")
             .select(

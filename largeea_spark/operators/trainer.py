@@ -291,6 +291,90 @@ def train_embeddings_anchor_np(
     return out[:n1], out[n1:]
 
 
+def train_embeddings_gcn_np(
+    ids1: np.ndarray, emb1: np.ndarray, ids2: np.ndarray, emb2: np.ndarray,
+    triples1: np.ndarray, triples2: np.ndarray, seeds: np.ndarray,
+    layers: int = 2, gate: float = 0.6,
+) -> tuple[np.ndarray, np.ndarray]:
+    """GCN-Align-shaped batch backbone (the M6 analogue with no TF):
+    a highway/gated GCN over a relation-FUNCTIONALITY-weighted
+    adjacency (`models/gcn_align/gcn_align.py:12-190`;
+    `models/gcn_align/utils.py:191-213` builds the same fun/ifun
+    weighted adjacency — A12 is the DataFrame-side measure).
+
+      edge weights: a triple (h, r, t) contributes ifun(r) to h→t and
+        fun(r) to t→h, where fun(r) = |distinct heads of r| / |triples
+        of r| and ifun(r) likewise on tails — high-functionality
+        relations carry more alignment signal;
+      propagation: h ← L2norm(gate·h + (1−gate)·Â_w·h) per layer
+        (the highway residual of GCN-Align's layer stack), Â_w the
+        weighted sym-normalized adjacency;
+      seed tying: every train pair is re-pinned to its MEAN after each
+        layer — the deterministic stand-in for the supervised loss that
+        pulls seed pairs together.
+
+    h⁰ = name embeddings (GCN-Align propagates attribute features, so
+    unlike 'anchor' the structure signal rides ON the name space rather
+    than a separate anchor subspace). Deterministic: edges sorted before
+    np.add.at, no RNG anywhere."""
+    n1, n2 = len(ids1), len(ids2)
+    d = emb1.shape[1] if n1 else (emb2.shape[1] if n2 else 0)
+    if n1 == 0 or n2 == 0 or d == 0:
+        return emb1, emb2
+    loc1 = {g: i for i, g in enumerate(ids1)}
+    loc2 = {g: n1 + i for i, g in enumerate(ids2)}
+    h = _norm_rows(np.vstack([emb1, emb2]).astype(np.float64))
+    n = n1 + n2
+
+    edges: list[tuple[int, int, float]] = []
+    for tri, loc in ((triples1, loc1), (triples2, loc2)):
+        if not len(tri):
+            continue
+        uniq, inv = np.unique(tri[:, 1], return_inverse=True)
+        n_tri = np.bincount(inv).astype(np.float64)
+        fun = np.empty(len(uniq))
+        ifun = np.empty(len(uniq))
+        for k in range(len(uniq)):
+            m = inv == k
+            fun[k] = len(np.unique(tri[m, 0])) / n_tri[k]
+            ifun[k] = len(np.unique(tri[m, 2])) / n_tri[k]
+        for row, ri in zip(tri, inv):
+            s_, _, t_ = int(row[0]), int(row[1]), int(row[2])
+            if s_ in loc and t_ in loc:
+                ls, lt = loc[s_], loc[t_]
+                edges.append((ls, lt, float(ifun[ri])))
+                edges.append((lt, ls, float(fun[ri])))
+    edges.sort()
+
+    sd = np.array(sorted(
+        (int(a), int(b)) for a, b in seeds if a in loc1 and b in loc2
+    ), dtype=np.int64).reshape(-1, 2)
+    p1 = np.array([loc1[a] for a in sd[:, 0]], dtype=np.int64)
+    p2 = np.array([loc2[b] for b in sd[:, 1]], dtype=np.int64)
+
+    def pin(hh: np.ndarray) -> np.ndarray:
+        if len(sd):
+            m = (hh[p1] + hh[p2]) / 2.0
+            hh[p1] = m
+            hh[p2] = m
+        return hh
+
+    h = pin(h)
+    if edges:
+        e = np.array([(a, b) for a, b, _ in edges], dtype=np.int64)
+        ew = np.array([w for _, _, w in edges], dtype=np.float64)
+        deg = np.zeros(n)
+        np.add.at(deg, e[:, 0], ew)
+        wn = ew / np.sqrt(
+            np.maximum(deg[e[:, 0]], 1e-12) * np.maximum(deg[e[:, 1]], 1e-12)
+        )
+        for _ in range(layers):
+            msg = np.zeros_like(h)
+            np.add.at(msg, e[:, 1], h[e[:, 0]] * wn[:, None])
+            h = pin(_norm_rows(gate * h + (1.0 - gate) * msg))
+    return h[:n1], h[n1:]
+
+
 PAYLOAD_SCHEMA = (
     "batch int, kind string, a long, b long, c long, vec array<double>"
 )
@@ -322,8 +406,13 @@ def pack_batch_payload(
     nul = F.lit(None).cast("long")
     nulv = F.lit(None).cast("array<double>")
     rows = []
+    # KG1 triples depend only on p1 — join the DISTINCT p1 list (like the
+    # entity/seed rows), NOT the full (p1, p2) corr: with top_k_corr > 1
+    # the corr join would replicate every KG1 triple once per target
+    # partner, inflating the payload and skewing the shared degree /
+    # softmax normalization of 'rrea'/'margin' toward triple edges.
     rows.append(
-        placed1.join(corr, placed1.part == corr.p1).select(
+        placed1.join(corr1, placed1.part == corr1.p1).select(
             F.col("p1").alias("batch"), F.lit("t1").alias("kind"),
             F.col("src").alias("a"), F.col("rel").alias("b"), F.col("dst").alias("c"),
             nulv.alias("vec"),
@@ -372,7 +461,8 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
     batch size bounded by the partition cap (G4 memory contract).
 
     ``algo``: 'anchor' (default — seed-anchor identity propagation,
-    strongest), 'margin' (v1 margin refinement), 'rrea' (relational
+    strongest), 'gcn' (GCN-Align-shaped functionality-weighted highway
+    GCN), 'margin' (v1 margin refinement), 'rrea' (relational
     reflection attention), or a CALLABLE with the signature
     ``(ids1, emb1, ids2, emb2, triples1, triples2, seeds) ->
     (refined1, refined2)`` (numpy arrays, executed executor-side per
@@ -405,6 +495,10 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
             r1, r2 = train_embeddings_anchor_np(
                 ids1, emb1, ids2, emb2, t1, t2, sd,
                 rounds=rounds, anchor_weight=anchor_weight,
+            )
+        elif algo == "gcn":
+            r1, r2 = train_embeddings_gcn_np(
+                ids1, emb1, ids2, emb2, t1, t2, sd,
             )
         elif algo == "rrea":
             r1, r2 = train_embeddings_rrea_np(

@@ -63,18 +63,31 @@ def string_similarity(
     return scored
 
 
+# brute knn_topk replicates every query ×n_blocks (one block per
+# 100k index rows) — fine below ~this many index rows, quadratic-ish
+# above. 'auto' switches to IVF at the threshold.
+IVF_AUTO_THRESHOLD = 100_000
+
+
 def name_embedding_similarity(
     pair: KGPair, k: int = 50, dim: int = 64, ngram: int = 3,
     restrict_to_test: bool = False, encoder="hashed",
-    method: str = "brute", nlist: int | None = None,
-    nprobe: int | None = None,
+    method: str = "auto", nlist: int | None = None,
+    nprobe: int | None = None, ivf_threshold: int | None = None,
 ) -> DataFrame:
     """Phases 1-2 (`main.py:301-320`): encoder + global top-k kNN.
 
     Encoder is the deterministic hashed char-n-gram stand-in for BERT
     max-pooling (`emb_loader.py:119-182`); same DataFrame contract, swap
     freely. kNN sim = 1−L2² on normalized vectors (`text_utils.py:301`),
-    k=50 (`text_utils.py:311-313`)."""
+    k=50 (`text_utils.py:311-313`).
+
+    ``method``: 'brute' (exact blocked kNN), 'ivf' (FAISS-IVFFlat-style
+    approximate — the 1e9-row scale path), or 'auto' (default): brute
+    below ``ivf_threshold`` index rows (exact where exactness is cheap),
+    IVF above it (brute's ×n_blocks query replication would dominate —
+    the same regime where the reference reaches for FAISS's coarse
+    quantizers, `text_utils.py:291-333`)."""
     n1 = entity_names(pair.kg1.ent, punct_to_space=False)
     n2 = entity_names(pair.kg2.ent, punct_to_space=False)
     if restrict_to_test:
@@ -83,16 +96,20 @@ def name_embedding_similarity(
         n2 = n2.join(test.select(F.col("e2").alias("id")), "id", "left_semi")
     e1 = encode_names(n1, "name", dim=dim, n=ngram, encoder=encoder)
     e2 = encode_names(n2, "name", dim=dim, n=ngram, encoder=encoder)
+    n_idx = None
+    if method in ("auto", "ivf"):
+        n_idx = n2.count()  # the actual index side (after any test restrict)
+    if method == "auto":
+        thr = IVF_AUTO_THRESHOLD if ivf_threshold is None else ivf_threshold
+        method = "ivf" if n_idx >= thr else "brute"
     if method == "ivf":
-        # the 1e9-row path for phases 1-2: IVF cuts the GEMM volume to
-        # nprobe/nlist of brute force. Measured on the 20k fixture
-        # (nlist=64, nprobe=16): 2.4× faster, recall@50 = 0.988,
-        # channel Hits@1 within 0.0002 of brute.
+        # IVF cuts the GEMM volume to ~nprobe/nlist of brute force.
+        # Measured on the 20k fixture (nlist=64, nprobe=16): 2.4×
+        # faster, recall@50 = 0.988, channel Hits@1 within 0.0002.
         from math import isqrt
 
         from ..operators.knn import ivf_topk
 
-        n_idx = pair.kg2.ent.count()
         nl = nlist if nlist is not None else max(16, min(4096, isqrt(max(n_idx, 1))))
         np_ = nprobe if nprobe is not None else max(4, nl // 4)
         return ivf_topk(e1, e2, k=k, nlist=nl, nprobe=np_)

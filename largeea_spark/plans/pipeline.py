@@ -107,7 +107,7 @@ def align_kg_pair(
     structure_weight: float = 1.0, k_parts: int = 4,
     structure_impl: str = "batched", structure_algo: str = "anchor",
     top_k_corr: int = 1, it_rounds: int = 1, semi_margin: float = 0.05,
-    knn_method: str = "brute",
+    knn_method: str = "auto",
 ) -> dict:
     """Two-KG alignment, reference phase order (`main.py:242-369`):
     name channel (string+embedding) → structure channel → fusion → eval.
@@ -209,12 +209,6 @@ def align_kg_pair(
     for name, s in {**sims, "fused": fused}.items():
         metrics[name] = evalx.hits_and_mrr(s, test, ks=(1, 5, 50), n_src=n_src)
         store.log_metrics(f"eval_{name}", metrics[name])
-    # CSLS-rescored eval (the reference's test-time protocol, W7;
-    # `eval.py:82-129`, `models/rrea/CSLS.py:56-95`)
-    metrics["fused_csls"] = evalx.hits_and_mrr(
-        simops.csls_rescore(fused, k=10), test, ks=(1, 5, 50), n_src=n_src
-    )
-    store.log_metrics("eval_fused_csls", metrics["fused_csls"])
 
     # iterative semi-supervision (M4/M8): mine → conflict-filter →
     # re-train structure → re-fuse; metrics logged per round
@@ -235,5 +229,14 @@ def align_kg_pair(
         metrics[f"fused_r{r}"] = evalx.hits_and_mrr(fused, test, ks=(1, 5, 50), n_src=n_src)
         store.log_metrics(f"eval_fused_r{r}", metrics[f"fused_r{r}"])
         metrics["fused"] = metrics[f"fused_r{r}"]  # final = last round
+
+    # CSLS-rescored eval (the reference's test-time protocol, W7;
+    # `eval.py:82-129`, `models/rrea/CSLS.py:56-95`) — computed on the
+    # FINAL fused sim (after any semi-supervision rounds) so both
+    # headline metrics describe the same sim table.
+    metrics["fused_csls"] = evalx.hits_and_mrr(
+        simops.csls_rescore(fused, k=10), test, ks=(1, 5, 50), n_src=n_src
+    )
+    store.log_metrics("eval_fused_csls", metrics["fused_csls"])
 
     return {"sims": sims, "fused": fused, "seeds": seeds, "metrics": metrics}

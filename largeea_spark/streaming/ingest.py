@@ -70,17 +70,24 @@ def stream_dedup_documents(
     the deduplicated sink after this drain."""
     from pyspark.sql import functions as F
 
+    schema = (
+        f"{id_col} long, {text_col} string, lang string, source string,"
+        " n_chars long"
+    )
+    if watermark_col is not None:
+        schema += f", {watermark_col} timestamp"
     docs = (
-        spark.readStream.schema(
-            f"{id_col} long, {text_col} string, lang string, source string,"
-            " n_chars long"
-        )
+        spark.readStream.schema(schema)
         .format("parquet").load(docs_dir)
         .withColumn("text_md5", F.md5(F.col(text_col)))
     )
     if watermark_col is not None:
+        # dropDuplicatesWithinWatermark dedups on md5 ALONE with state
+        # bounded by the watermark (same-text rows with different event
+        # times within the watermark window are still dropped) — plain
+        # dropDuplicates([md5, ts]) would keep every distinct timestamp.
         docs = docs.withWatermark(watermark_col, watermark)
-        deduped = docs.dropDuplicates(["text_md5", watermark_col])
+        deduped = docs.dropDuplicatesWithinWatermark(["text_md5"])
     else:
         deduped = docs.dropDuplicates(["text_md5"])
     q = (
