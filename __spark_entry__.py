@@ -636,6 +636,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cube_rollup_orders"] = cube_rollup_orders
 
+    def event_windowed_counts(spark, sf):
+        # batch counterpart of streaming.ingest.stream_windowed_event_counts
+        # (tumbling 1h window agg) — window starts exported as epoch
+        # seconds so both engines compare tz-free integers
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("w_start"),
+                "event_type", "n", "total_value",
+            )
+        )
+
+    q["event_windowed_counts"] = event_windowed_counts
+
     def eval_hits_mrr(spark, sf):  # W4/W6: Hits@k + truncated MRR
         from largeea_spark.operators import simops
 
@@ -1169,6 +1186,14 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n,
                round(sum(o_totalprice), 4)::DOUBLE AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    o["event_windowed_counts"] = """
+        SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS w_start,
+               event_type,
+               count(*)::BIGINT AS n,
+               round(sum(value), 6)::DOUBLE AS total_value
+        FROM events GROUP BY 1, 2
     """
 
     o["doc_pipeline_composite"] = f"""

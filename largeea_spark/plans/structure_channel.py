@@ -146,5 +146,10 @@ def trained_batched_structure_similarity(
     # and each src lives in exactly one batch, so the output is already
     # the accumulated sim (A10).
     sim = knn_topk_grouped(r1, r2, k=knn_k, group_col="batch")
-    return sim, {"batches": [{"p1": int(a), "p2": int(b)} for a, b in batches]}
+    return sim, {
+        "batches": [{"p1": int(a), "p2": int(b)} for a, b in batches],
+        # checkpointed partition frames, exposed for co-location
+        # diagnostics (scripts/quality_scale.py) and G8 stats
+        "parts": (parts1, parts2),
+    }
 

@@ -56,6 +56,12 @@ def main():
         pair, e1, e2, k_parts=4, knn_k=50, algo="anchor"
     )
     sims["structure anchor-trained (phase 0)"] = stru.cache()
+    # second built-in backbone through the same trainer seam (M6
+    # analogue): GCN-Align-shaped functionality-weighted highway GCN
+    stru_gcn, _ = trained_batched_structure_similarity(
+        pair, e1, e2, k_parts=4, knn_k=50, algo="gcn"
+    )
+    sims["structure gcn-trained (M6 analogue)"] = stru_gcn.cache()
 
     name_fused = simops.fuse(
         [sims["embedding (phases 1-2)"], sims["string (phase 3)"],
