@@ -32,6 +32,50 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.array(series.tolist(), dtype=np.float64)
 
 
+def _shuffle_width(df: DataFrame) -> int:
+    """The engine's canonical shuffle width (``spark.sql.shuffle.partitions``).
+
+    Used instead of ``defaultParallelism`` so blocking grids and pinned
+    repartitions are a function of the SESSION CONFIG, not the worker
+    count — results stay bit-identical across parallelism levels (the
+    xpar determinism contract)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` with an EXPLICIT partition count.
+
+    The GEMM cogroup stages downstream are compute-bound per row but
+    tiny in bytes (embedding arrays compress well), so AQE's byte-based
+    partition coalescing can legally squeeze their exchange to 1-2
+    partitions and serialize hundreds of GFLOPs onto one core. A
+    user-specified ``repartition(n, cols)`` both satisfies the
+    cogroup's ClusteredDistribution (no second exchange) and is exempt
+    from AQE coalescing (REPARTITION_BY_NUM shuffle origin), pinning
+    the stage at full width. PLANS.md "compute-dense Arrow stages"."""
+    return df.repartition(_shuffle_width(df), *[F.col(c) for c in cols])
+
+
+def _auto_grid(n_q: int, n_idx: int, n_query_blocks: int, n_blocks: int,
+               width: int) -> tuple[int, int]:
+    """Widen a (query-blocks × index-blocks) grid until it has at least
+    ``width`` cells, keeping the memory caps as lower bounds.
+
+    The memory-derived grid (100k-row index blocks) collapses to 1×1
+    below 100k rows — one task, one core, regardless of cluster size.
+    Extra splits cost replicated rows (queries ×n_blocks, index
+    ×n_query_blocks) but parallelize the GEMM; splitting to minimize
+    total replication puts the factor sqrt(width·other/this) on each
+    axis."""
+    if n_query_blocks * n_blocks >= width:
+        return n_query_blocks, n_blocks
+    import math
+
+    nb = max(n_blocks, math.ceil(math.sqrt(width * max(n_idx, 1) / max(n_q, 1))))
+    nqb = max(n_query_blocks, math.ceil(width / nb))
+    return nqb, nb
+
+
 def knn_topk(
     query: DataFrame, index: DataFrame, k: int = 50,
     id_col: str = "id", emb_col: str = "emb",
@@ -53,12 +97,20 @@ def knn_topk(
     plan runs at 1e9 rows. Replication cost: queries ×n_blocks,
     index ×n_query_blocks (the FAISS double-batching shape,
     `text_utils.py:291-333`, distributed)."""
+    auto = n_blocks is None and n_query_blocks is None
     if n_blocks is None:
         n_idx = index.count()
         n_blocks = max(1, -(-n_idx // block_rows))
     if n_query_blocks is None:
         n_q = query.count()
         n_query_blocks = max(1, -(-n_q // query_block_rows))
+    if auto:
+        # widen the grid to the session's shuffle width so the GEMM
+        # stage fans out even when the memory caps would allow 1×1
+        # (explicit n_blocks/n_query_blocks are honored as-is)
+        n_query_blocks, n_blocks = _auto_grid(
+            n_q, n_idx, n_query_blocks, n_blocks, _shuffle_width(query)
+        )
 
     q = query.select(
         F.col(id_col).alias("qid"), F.col(emb_col).alias("qemb"),
@@ -108,8 +160,8 @@ def knn_topk(
         return pd.concat(frames, ignore_index=True)
 
     per_cell = (
-        qrep.groupBy("qb", "b")
-        .cogroup(xrep.groupBy("qb", "b"))
+        _pin_partitions(qrep, "qb", "b").groupBy("qb", "b")
+        .cogroup(_pin_partitions(xrep, "qb", "b").groupBy("qb", "b"))
         .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
     )
     if n_blocks == 1:
@@ -191,8 +243,8 @@ def knn_topk_grouped(
         return pd.concat(frames, ignore_index=True)
 
     per_cell = (
-        q.groupBy("g", "qb", "b")
-        .cogroup(x.groupBy("g", "qb", "b"))
+        _pin_partitions(q, "g", "qb", "b").groupBy("g", "qb", "b")
+        .cogroup(_pin_partitions(x, "g", "qb", "b").groupBy("g", "qb", "b"))
         .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
     )
     from .simops import topk_per_row
@@ -264,8 +316,8 @@ def ann_topk_lsh(
         return pd.DataFrame({SRC: rows, DST: cols, SIM: vals})
 
     per_bucket = (
-        qb.groupBy("bucket")
-        .cogroup(xb.groupBy("bucket"))
+        _pin_partitions(qb, "bucket").groupBy("bucket")
+        .cogroup(_pin_partitions(xb, "bucket").groupBy("bucket"))
         .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
     )
     from .simops import topk_per_row
@@ -283,8 +335,12 @@ def _kmeans_lite(sample: np.ndarray, nlist: int, n_iter: int = 8,
     rng = np.random.default_rng(seed)
     n = len(sample)
     centroids = sample[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    ssq = (sample * sample).sum(1)[:, None]
     for _ in range(n_iter):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        # GEMM distance form: the 3-D broadcast (n × nlist × d) would
+        # allocate ~n·nlist·d·8 bytes PER ITERATION (4.6 GB at the
+        # 20k-sample/447-cell default) — this is O(n·nlist)
+        d2 = ssq + (centroids * centroids).sum(1)[None, :] - 2.0 * sample @ centroids.T
         assign = d2.argmin(1)
         for c in range(len(centroids)):
             members = sample[assign == c]
@@ -377,8 +433,8 @@ def ivf_topk(
         return pd.concat(frames, ignore_index=True)
 
     per_cell = (
-        qa.groupBy("cell")
-        .cogroup(xa.groupBy("cell"))
+        _pin_partitions(qa, "cell").groupBy("cell")
+        .cogroup(_pin_partitions(xa, "cell").groupBy("cell"))
         .applyInPandas(score, schema=f"{SRC} long, {DST} long, {SIM} double")
     )
     from .simops import topk_per_row

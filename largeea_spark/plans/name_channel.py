@@ -55,9 +55,16 @@ def string_similarity(
     t2 = n2.withColumn("toks", underscore_token_set("name"))
     cand = minhash_candidates(t1, t2, "id", "toks", num_perm, bands, rows,
                               stats=stats)
+    # pin the DP-scoring stage at full shuffle width: candidate-pair
+    # rows are ~100 bytes but the Levenshtein DP is O(|a|·|b|) compute
+    # per row — AQE's byte-based coalescing would serialize it (the
+    # explicit-count repartition is exempt from coalescing; PLANS.md
+    # "compute-dense Arrow stages")
+    width = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     scored = (
         cand.join(n1.select(F.col("id").alias("src"), F.col("name").alias("n1")), "src")
         .join(n2.select(F.col("id").alias("dst"), F.col("name").alias("n2")), "dst")
+        .repartition(width, F.col("src"), F.col("dst"))
         .select("src", "dst", levenshtein_ratio(F.col("n1"), F.col("n2")).alias("sim"))
     )
     return scored
@@ -74,6 +81,7 @@ def name_embedding_similarity(
     restrict_to_test: bool = False, encoder="hashed",
     method: str = "auto", nlist: int | None = None,
     nprobe: int | None = None, ivf_threshold: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Phases 1-2 (`main.py:301-320`): encoder + global top-k kNN.
 
@@ -102,6 +110,9 @@ def name_embedding_similarity(
     if method == "auto":
         thr = IVF_AUTO_THRESHOLD if ivf_threshold is None else ivf_threshold
         method = "ivf" if n_idx >= thr else "brute"
+    if stats is not None:
+        # observability: which path auto picked and why (no silent caps)
+        stats.update({"knn_method": method, "n_index": n_idx})
     if method == "ivf":
         # IVF cuts the GEMM volume to ~nprobe/nlist of brute force.
         # Measured on the 20k fixture (nlist=64, nprobe=16): 2.4×
@@ -111,7 +122,14 @@ def name_embedding_similarity(
         from ..operators.knn import ivf_topk
 
         nl = nlist if nlist is not None else max(16, min(4096, isqrt(max(n_idx, 1))))
-        np_ = nprobe if nprobe is not None else max(4, nl // 4)
+        # cap derived nprobe: nl//4 is right at small nlist (recall
+        # headroom) but at nlist=√n it probes 25% of cells — only a 4×
+        # cut vs brute, with an nprobe× query-replication shuffle.
+        # 32 probes of ≥√n cells keeps recall ≥0.9 on name embeddings
+        # (SCALE.md "ANN auto-selection") at ≤32/√n of brute's GEMM.
+        np_ = nprobe if nprobe is not None else max(4, min(32, nl // 4))
+        if stats is not None:
+            stats.update({"nlist": nl, "nprobe": np_})
         return ivf_topk(e1, e2, k=k, nlist=nl, nprobe=np_)
     return knn_topk(e1, e2, k=k)
 

@@ -8,7 +8,15 @@ batch), structure Hits@1, and fused Hits@1/MRR.
 Usage:
   python scripts/quality_scale.py [n_ents] [n_links] [k_parts]
                                   [it_rounds] [semi_margin] [top_k_corr]
+                                  [name_dim]
 Appends a row per round to SCALE.md (section "Iterative quality").
+
+``name_dim`` sets the hashed-encoder dim for the NAME channel (the
+trainer input stays at 64): name-collision noise rises with entity
+count at fixed dim, so larger fixtures may need a wider encoder —
+the real-encoder analogue is BERT d=768. Also reports the
+CSLS-rescored fused Hits@1 per round (the reference's test-time
+protocol, `eval.py:82-129`).
 """
 
 import os
@@ -54,6 +62,7 @@ def main():
     it_rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     semi_margin = float(sys.argv[5]) if len(sys.argv) > 5 else 0.05
     top_k_corr = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    name_dim = int(sys.argv[7]) if len(sys.argv) > 7 else 64
     spark = get_spark("qscale", master="local[32]", shuffle_partitions=32)
 
     t1, t2, links, _ = fixtures.two_kg_fixture(
@@ -68,7 +77,9 @@ def main():
     n_src = (kg1.ent.agg(F.max("id")).first()[0] or 0) + 1
 
     s_string = name_channel.string_similarity(pair).localCheckpoint(eager=True)
-    s_embed = name_channel.name_embedding_similarity(pair, k=50).localCheckpoint(eager=True)
+    s_embed = name_channel.name_embedding_similarity(
+        pair, k=50, dim=name_dim
+    ).localCheckpoint(eager=True)
     name_sim = simops.fuse([s_embed, s_string], [1.0, 0.05]).localCheckpoint(eager=True)
 
     e1 = encode_names(name_channel.entity_names(kg1.ent, False), "name", dim=64).select("id", "emb")
@@ -104,6 +115,9 @@ def main():
         cl = coloc_rate(spark, test, stats)
         m_stru = evalx.hits_and_mrr(stru, test, ks=(1,), n_src=n_src)
         m_fused = evalx.hits_and_mrr(fused, test, ks=(1,), n_src=n_src)
+        m_csls = evalx.hits_and_mrr(
+            simops.csls_rescore(fused, k=10), test, ks=(1,), n_src=n_src
+        )
         dt = time.time() - t0
         row = {
             "round": r, "n_seeds": seeds.count(), "n_mined": n_mined,
@@ -111,6 +125,7 @@ def main():
             "coloc": round(cl, 4),
             "stru_h1": round(m_stru["hits@1"], 4),
             "fused_h1": round(m_fused["hits@1"], 4),
+            "csls_h1": round(m_csls["hits@1"], 4),
             "fused_mrr": round(m_fused["MRR"], 4),
             "sec": round(dt, 1),
         }
@@ -128,18 +143,19 @@ def main():
                 "precision vs gold, the co-location ceiling (fraction of"
                 " test pairs co-batched — the structure channel cannot\n"
                 "score a pair outside it), and the quality lift.\n\n"
-                "| ents/KG | k_parts | margin | top_k_corr | round |"
+                "| ents/KG | k_parts | margin | top_k_corr | dim | round |"
                 " seeds | mined | mined prec | coloc | H@1 stru |"
-                " H@1 fused | MRR fused | sec |\n"
-                "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+                " H@1 fused | H@1 csls | MRR fused | sec |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
             )
         for row in rows:
             f.write(
                 f"| {n_ents} | {k_parts} | {semi_margin} | {top_k_corr} |"
+                f" {name_dim} |"
                 f" {row['round']} | {row['n_seeds']} | {row['n_mined']} |"
                 f" {row['mined_prec'] if row['mined_prec'] is not None else '—'} |"
                 f" {row['coloc']} | {row['stru_h1']} | {row['fused_h1']} |"
-                f" {row['fused_mrr']} | {row['sec']} |\n"
+                f" {row['csls_h1']} | {row['fused_mrr']} | {row['sec']} |\n"
             )
     spark.stop()
 

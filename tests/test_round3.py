@@ -33,14 +33,19 @@ def test_name_embedding_auto_selects_by_index_size(spark):
 
     brute = name_embedding_similarity(pair, k=10, method="brute")
     # default threshold (100k) >> fixture size → auto must take brute
-    auto_small = name_embedding_similarity(pair, k=10, method="auto")
+    st_small: dict = {}
+    auto_small = name_embedding_similarity(pair, k=10, method="auto",
+                                           stats=st_small)
     assert key_set(auto_small) == key_set(brute)
+    assert st_small["knn_method"] == "brute" and st_small["n_index"] == 120
 
     # threshold 1 → auto must take IVF with the same derived nlist/nprobe
     ivf = name_embedding_similarity(pair, k=10, method="ivf")
+    st_big: dict = {}
     auto_big = name_embedding_similarity(pair, k=10, method="auto",
-                                         ivf_threshold=1)
+                                         ivf_threshold=1, stats=st_big)
     assert key_set(auto_big) == key_set(ivf)
+    assert st_big["knn_method"] == "ivf"
     # and the IVF result differs from brute only mildly (recall, not junk)
     inter = len(key_set(ivf) & key_set(brute))
     assert inter / max(len(key_set(brute)), 1) > 0.8
@@ -253,3 +258,63 @@ def test_place_triples_counts(spark):
     rows = {(r.src, r.rel, r.dst, r.part) for r in kept.collect()}
     assert rows == {(0, 0, 1, 0), (2, 0, 3, 1)}
     assert dropped == 2
+
+
+# ---------------------------------------------------------------------------
+# compute-dense stage pinning: the GEMM cogroup must sit on explicit
+# REPARTITION_BY_NUM exchanges (AQE byte-based coalescing would
+# serialize it), with no extra ENSURE_REQUIREMENTS exchange in between,
+# and the auto grid must widen to the session's shuffle width
+# ---------------------------------------------------------------------------
+
+def test_knn_cogroup_pinned_at_shuffle_width(spark):
+    import pandas as pd
+
+    from largeea_spark.functions.vectors import encode_names
+    from largeea_spark.operators.knn import _auto_grid, knn_topk
+
+    n = 400
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "id": range(n),
+            "name": [f"Entity_{i}_{(i * i) % 881}_{i % 7}" for i in range(n)],
+        })
+    )
+    e = encode_names(df, "name", dim=32).select("id", "emb")
+    sim = knn_topk(e, e, k=5)
+    plan = sim._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    cog = [i for i, ln in enumerate(lines) if "FlatMapCoGroupsInPandas" in ln]
+    assert cog, plan
+    # both cogroup children repartitioned with an explicit count
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+    # no planner-inserted exchange between the pinned repartition and
+    # the cogroup (the explicit one must satisfy the distribution)
+    below = "\n".join(lines[cog[0]:])
+    first_ex = [ln for ln in below.splitlines() if "Exchange" in ln]
+    assert first_ex and "REPARTITION_BY_NUM" in first_ex[0], below[:800]
+
+    # grid widening: 1×1 memory grid fans out to >= shuffle width cells
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nqb, nb = _auto_grid(20000, 20000, 1, 1, width)
+    assert nqb * nb >= width
+    # and honors memory-cap lower bounds
+    nqb2, nb2 = _auto_grid(1000, 10_000_000, 1, 100, width)
+    assert nb2 >= 100
+
+    # exactness unchanged by the widened grid: same (src, dst) set as
+    # an explicit 2×2 grid (both merge via the deterministic windowed
+    # top-k; the 1×1 fast path differs only in k-boundary tie selection)
+    two = knn_topk(e, e, k=5, n_blocks=2, n_query_blocks=2)
+    assert {(r.src, r.dst) for r in sim.collect()} == \
+        {(r.src, r.dst) for r in two.collect()}
+
+
+def test_string_similarity_scoring_stage_pinned(spark):
+    from largeea_spark.plans.name_channel import string_similarity
+
+    pair, _ = _small_pair(spark)
+    sim = string_similarity(pair)
+    plan = sim._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:1200]
+    assert sim.count() > 0
