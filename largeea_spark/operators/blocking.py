@@ -148,8 +148,17 @@ def exact_jaccard_pairs(
     drop, `text_utils.py:63-72`, is the same idea)."""
     t1 = df1.select(F.col(id_col).alias("src"), F.explode(F.array_distinct(F.col(token_col))).alias("tok"))
     t2 = df2.select(F.col(id_col).alias("dst"), F.explode(F.array_distinct(F.col(token_col))).alias("tok"))
-    n1 = t1.groupBy("src").agg(F.count("*").alias("n_src"))
-    n2 = t2.groupBy("dst").agg(F.count("*").alias("n_dst"))
+    # set sizes come straight off the array column — a narrow projection
+    # per doc row, not a groupBy over the exploded postings (saves two
+    # full shuffles of the posting table)
+    n1 = df1.select(
+        F.col(id_col).alias("src"),
+        F.size(F.array_distinct(F.col(token_col))).alias("n_src"),
+    )
+    n2 = df2.select(
+        F.col(id_col).alias("dst"),
+        F.size(F.array_distinct(F.col(token_col))).alias("n_dst"),
+    )
     j1, j2 = t1, t2
     if max_df is not None:
         hot = (

@@ -102,7 +102,7 @@ def construct_kg_from_pages(
 def align_kg_pair(
     spark: SparkSession, pair: KGPair, store: StageStore,
     knn_k: int = 50, string_weight: float = 0.05, use_structure: bool = True,
-    structure_layers: int = 2, emb_dim: int = 64,
+    structure_layers: int = 2, emb_dim: int | str = "auto",
     use_token_channel: bool = False, token_weight: float = 0.3,
     structure_weight: float = 1.0, k_parts: int = 4,
     structure_impl: str = "batched", structure_algo: str = "anchor",
@@ -119,12 +119,26 @@ def align_kg_pair(
     (`main.py:356`). ``structure_impl='propagate'`` keeps the
     training-free propagation channel (L8/L9).
 
+    ``emb_dim='auto'`` (default) widens the hashed name encoder from
+    64 to 128 dims above 60k total entities — collision noise at fixed
+    width grows with entity count (SCALE.md "Iterative quality").
+
     ``it_rounds > 1`` enables iterative semi-supervision (M4/M8,
     `models/rrea/rrea.py:182-211`, `EAKit/semi_utils.py:20-110`): each
     extra round mines high-margin mutual pairs (W10/W11) from the
     current FUSED sim, conflict-filters them against gold train (U5
     anti-joins on both sides), re-trains the structure channel with
     gold ∪ mined, and re-fuses."""
+    if emb_dim == "auto":
+        # hashed-encoder collision noise grows with the entity count at
+        # fixed width (numeric-suffix siblings nearly tie in trigram
+        # space): name-only Hits@1 at 50k ents is 0.61 at dim=64 vs
+        # 0.64 at 128 (SCALE.md "Iterative quality" / name_dim_probe).
+        # 64 keeps small runs cheap; 128 above 30k entities. A real
+        # transformer encoder (d=768 contract) makes this moot.
+        n_ents = pair.kg1.ent.count() + pair.kg2.ent.count()
+        emb_dim = 128 if n_ents >= 60_000 else 64
+
     blocking_stats: dict = {}
 
     def build_string():

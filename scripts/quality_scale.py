@@ -132,11 +132,30 @@ def main():
         rows.append(row)
         print(row, flush=True)
 
-    hdr_needed = "## Iterative quality" not in open("/root/repo/SCALE.md").read()
+    new_rows = "".join(
+        f"| {n_ents} | {k_parts} | {semi_margin} | {top_k_corr} |"
+        f" {name_dim} |"
+        f" {row['round']} | {row['n_seeds']} | {row['n_mined']} |"
+        f" {row['mined_prec'] if row['mined_prec'] is not None else '—'} |"
+        f" {row['coloc']} | {row['stru_h1']} | {row['fused_h1']} |"
+        f" {row['csls_h1']} | {row['fused_mrr']} | {row['sec']} |\n"
+        for row in rows
+    )
+    text = open("/root/repo/SCALE.md").read()
+    if "## Iterative quality" in text:
+        # insert at the END of this section's table (other sections may
+        # follow in the file — a plain append would orphan the rows)
+        start = text.index("## Iterative quality")
+        end = text.find("\n## ", start + 1)
+        end = len(text) if end < 0 else end
+        block = text[start:end].rstrip("\n") + "\n" + new_rows
+        text = text[:start] + block + text[end:]
+        open("/root/repo/SCALE.md", "w").write(text)
+        spark.stop()
+        return
     with open("/root/repo/SCALE.md", "a") as f:
-        if hdr_needed:
-            f.write(
-                "\n## Iterative quality — semi-supervision rounds, mined"
+        f.write(
+            "\n## Iterative quality — semi-supervision rounds, mined"
                 " precision, co-location ceiling\n\n"
                 "Per-round diagnostics of the M4/M8 bootstrap"
                 " (`scripts/quality_scale.py N L K R M T`): mined-pair\n"

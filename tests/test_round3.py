@@ -318,3 +318,25 @@ def test_string_similarity_scoring_stage_pinned(spark):
     plan = sim._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan, plan[:1200]
     assert sim.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# name-encoder dim auto-widening: below the entity threshold the auto
+# default must be byte-for-byte the dim=64 pipeline (no behavior change
+# for small runs); the threshold path is covered by SCALE.md soaks
+# ---------------------------------------------------------------------------
+
+def test_align_emb_dim_auto_small_equals_64(spark, tmp_path):
+    from largeea_spark.plans.pipeline import align_kg_pair
+    from largeea_spark.sources.stage import StageStore
+
+    pair, _ = _small_pair(spark)
+    res_a = align_kg_pair(
+        spark, pair, StageStore(spark, str(tmp_path / "a")), knn_k=10,
+        emb_dim="auto", k_parts=2,
+    )
+    res_64 = align_kg_pair(
+        spark, pair, StageStore(spark, str(tmp_path / "b")), knn_k=10,
+        emb_dim=64, k_parts=2,
+    )
+    assert res_a["metrics"]["fused"] == res_64["metrics"]["fused"]
