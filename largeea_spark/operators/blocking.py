@@ -20,6 +20,25 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import explode_band_keys
 
 
+def widen_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
+    """Widen-ONLY repartition to the session's shuffle width.
+
+    Compute-dense per-row stages (MinHash signatures are num_perm
+    JVM hash-min expressions per row; shingling/posting joins
+    likewise) inherit the input's partitioning — a small table arrives
+    as 1-2 parquet splits or a narrow checkpoint and the stage runs on
+    1-2 cores at any cluster size (measured 5× on the sf0.1
+    ngram-Jaccard path). Inputs already at least shuffle-width wide
+    (any real corpus) pass through untouched, so parallelism is never
+    SHRUNK at scale. PLANS.md "compute-dense Arrow stages"."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, *[F.col(c) for c in cols]) if cols else (
+        df.repartition(width)
+    )
+
+
 def minhash_candidates(
     df1: DataFrame, df2: DataFrame, id_col: str, token_col: str,
     num_perm: int = 128, bands: int = 32, rows: int = 4,
@@ -32,8 +51,10 @@ def minhash_candidates(
     (``dropped_buckets_{1,2}``, ``dropped_rows_{1,2}``) — the no-silent-
     caps observability hook (wired into StageStore metrics by the
     pipeline's string-channel stage)."""
-    b1 = explode_band_keys(df1, id_col, token_col, num_perm, bands, rows)
-    b2 = explode_band_keys(df2, id_col, token_col, num_perm, bands, rows)
+    b1 = explode_band_keys(widen_if_narrow(df1, id_col), id_col, token_col,
+                           num_perm, bands, rows)
+    b2 = explode_band_keys(widen_if_narrow(df2, id_col), id_col, token_col,
+                           num_perm, bands, rows)
     if max_bucket is not None:
         b1 = _cap_buckets(b1, max_bucket, stats, side=1)
         b2 = _cap_buckets(b2, max_bucket, stats, side=2)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import explode_band_keys, hamming64, word_ngrams
 from ..functions.names import tokenize_ws
-from .blocking import exact_jaccard_pairs
+from .blocking import exact_jaccard_pairs, widen_if_narrow
 from .canonical import canonical_ids
 
 
@@ -48,26 +48,8 @@ def exact_dedup_keep(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(w_keep.select(id_col), id_col, "left_semi")
 
 
-def _widen_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
-    """Widen-ONLY repartition to the session's shuffle width.
-
-    A small corpus arrives as 1-2 parquet splits, so every narrow
-    stage downstream (shingling, signature hashing, the posting join's
-    map side) runs on 1-2 cores no matter the cluster size — measured
-    5× on the sf0.1 ngram-Jaccard path (one split → 11.9 s, widened →
-    2.3 s). Inputs that are already at least shuffle-width partitioned
-    (any real corpus) pass through untouched, so this never SHRINKS
-    parallelism at scale. PLANS.md "compute-dense Arrow stages"."""
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= width:
-        return df
-    return df.repartition(width, *[F.col(c) for c in cols]) if cols else (
-        df.repartition(width)
-    )
-
-
 def _doc_tokens(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return _widen_if_narrow(docs, id_col).select(
+    return widen_if_narrow(docs, id_col).select(
         F.col(id_col), word_ngrams(tokenize_ws(F.col(text_col)), n).alias("grams")
     )
 
