@@ -436,16 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_knn_cosine"] = emb_knn_cosine
 
-    def emb_knn_blocked(spark, sf):  # J9 blocked kNN engine path — rows-only
-        from largeea_spark.operators.knn import knn_topk
-
-        e = _t(spark, sf, "embeddings").select(
-            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
-        )
-        out = knn_topk(e, e, k=5, n_blocks=4)
-        return out.select("src", "dst", F.round("sim", 6).alias("sim"))
-
-    q["emb_knn_blocked"] = emb_knn_blocked
+    # emb_knn_blocked retired in r4: subsumed by the emb_knn_blocked_vs_brute
+    # hard gate (blocked == brute, mismatch=0), freeing a slot in the driver's
+    # 50-query correctness window for cc_components / doc_repetition_filter.
 
     def doc_pipeline_composite(spark, sf):  # filter → dedup → per-lang stats
         from largeea_spark.operators.dedup import exact_dedup_keep
@@ -521,14 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lowrank_topk_gate"] = lowrank_topk_gate
 
-    def emb_label_centroids(spark, sf):  # A5 scatter-mean over arrays
-        e = _t(spark, sf, "embeddings")
-        flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-        return flat.groupBy("label", "pos").agg(
-            F.round(F.avg("x"), 6).alias("centroid_x")
-        ).select("label", F.col("pos").cast("long").alias("pos"), "centroid_x")
-
-    q["emb_label_centroids"] = emb_label_centroids
+    # emb_label_centroids retired in r4: same scatter-mean shape as the
+    # spmm_label_centroids oracle row (A5/L3 share the groupBy-avg plan);
+    # frees a slot in the driver's 50-query correctness window.
 
     def emb_norms(spark, sf):  # F8 row norms
         e = _t(spark, sf, "embeddings")
@@ -1095,13 +1083,6 @@ def oracle_sql() -> dict[str, str]:
           FROM sim) WHERE rk <= 5
     """
 
-    o["emb_label_centroids"] = """
-        SELECT label, (i - 1)::BIGINT AS pos,
-               round(avg(embedding[i]::DOUBLE), 6)::DOUBLE AS centroid_x
-        FROM embeddings, generate_series(1, 64) AS t(i)
-        GROUP BY 1, 2
-    """
-
     o["emb_norms"] = """
         SELECT vec_id,
                round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)::DOUBLE AS l2_norm
@@ -1375,5 +1356,5 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # rows-only (no oracle): doc_minhash_lsh_pairs, doc_simhash_pairs,
-    # emb_knn_blocked, kg_string_alignment, web_triple_parity
+    # kg_string_alignment, web_triple_parity
     return o

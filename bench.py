@@ -373,7 +373,7 @@ def _scaling_job(cores: int) -> dict:
 
 
 def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
-                    alignment=None, pair_effs=None):
+                    alignment=None, pair_effs=None, results_cold=None):
     """North-rule evidence: throughput at both parallelism levels +
     scaling efficiency, persisted to BENCH.md."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -382,15 +382,19 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
         "",
         f"sf dir: `{SF_DIR}`  ·  cores: {CPUS}",
         "",
-        "Per-query wall clock is BEST-OF-2 since round 3 (min of two",
-        "back-to-back runs in one warm session — the steady-state",
-        "estimate; round-1/2 numbers were single cold runs, so",
-        "round-over-round headline deltas mix estimator + engine).",
+        "Per-query wall clock: BOTH estimators since round 4 — the first",
+        "(cold) run, comparable to the round-1/2 cold singles, and",
+        "best-of-2 in the same warm session (the steady-state estimate,",
+        "what round 3 reported). Round-over-round deltas should be read",
+        "within one column.",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "| query | cold first-run sec | best-of-2 warm sec |",
+        "|---|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in results.items()]
+    lines += [
+        f"| {k} | {(results_cold or {}).get(k, '—')} | {v} |"
+        for k, v in results.items()
+    ]
     if alignment:
         lines += [
             "",
@@ -415,7 +419,11 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
         f" hot loop, text_utils.py:349-357). Shuffle partitions fixed (32)"
         f" for both runs; warmup action excluded (steady-state).",
         "",
-        "Median pair (by e2e efficiency) of the interleaved runs:",
+        "Median pair (by e2e efficiency) of the interleaved runs. NOTE:",
+        "this table shows the single median-E2E pair's raw timings for",
+        "context; the headline per-stage efficiencies below are STAGE-WISE",
+        "medians across ALL pairs (per-pair table at the bottom), so the",
+        "two need not reproduce each other exactly:",
         "",
         "| cores | total sec | construct sec | encode sec | score sec | pages/sec | names/sec | pairs/sec |",
         "|---|---|---|---|---|---|---|---|",
@@ -547,12 +555,19 @@ def main():
     # best-of-2 per query: shared-host background load swings single
     # runs ±50%; min-of-2 is the standard steady-state estimate and
     # also absorbs first-touch JIT/page-cache effects
+    # r4: ALSO record each query's first (cold) run so round-over-round
+    # deltas can be read on a fixed estimator — r3's switch from cold
+    # singles to warm best-of-2 made the 31.5→11.5 s headline partly
+    # methodology (VERDICT r3 #4); reporting both separates engine from
+    # estimator from now on.
+    results_cold: dict[str, float] = {}
     for name, fn in HEADLINE.items():
         times = []
         for _ in range(int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "2"))):
             t0 = time.time()
             fn(spark)
             times.append(time.time() - t0)
+        results_cold[name] = round(times[0], 2)
         results[name] = round(min(times), 2)
     t0 = time.time()
     alignment = _alignment_quality(spark)
@@ -575,13 +590,15 @@ def main():
 
     total = round(sum(results.values()), 2)
     _write_bench_md(results, lo, hi, eff, eff_pipeline, eff_score, alignment,
-                    pair_effs)
+                    pair_effs, results_cold)
     shutil.rmtree(SCALE_TMP, ignore_errors=True)  # keep /tmp lean per round
     print(json.dumps({
         "metric": "headline_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "queries_cold_first_run": results_cold,
+        "value_cold_first_run": round(sum(results_cold.values()), 2),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "alignment": alignment,
         "scaling": {

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import explode_band_keys
+from ..session import session_shuffle_width
 
 
 def widen_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
@@ -31,7 +32,7 @@ def widen_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
     ngram-Jaccard path). Inputs already at least shuffle-width wide
     (any real corpus) pass through untouched, so parallelism is never
     SHRUNK at scale. PLANS.md "compute-dense Arrow stages"."""
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = session_shuffle_width(df.sparkSession)
     if df.rdd.getNumPartitions() >= width:
         return df
     return df.repartition(width, *[F.col(c) for c in cols]) if cols else (

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .simops import DST, SIM, SRC
+from ..session import session_shuffle_width
 
 
 def _to_matrix(series: pd.Series) -> np.ndarray:
@@ -38,8 +39,9 @@ def _shuffle_width(df: DataFrame) -> int:
     Used instead of ``defaultParallelism`` so blocking grids and pinned
     repartitions are a function of the SESSION CONFIG, not the worker
     count — results stay bit-identical across parallelism levels (the
-    xpar determinism contract)."""
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    xpar determinism contract). Falls back to ``defaultParallelism`` on
+    platforms where the conf is non-numeric (e.g. ``auto``)."""
+    return session_shuffle_width(df.sparkSession)
 
 
 def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:

@@ -302,10 +302,13 @@ def train_embeddings_gcn_np(
     `models/gcn_align/utils.py:191-213` builds the same fun/ifun
     weighted adjacency — A12 is the DataFrame-side measure).
 
-      edge weights: a triple (h, r, t) contributes ifun(r) to h→t and
-        fun(r) to t→h, where fun(r) = |distinct heads of r| / |triples
-        of r| and ifun(r) likewise on tails — high-functionality
-        relations carry more alignment signal;
+      edge weights: a non-self-loop triple (h, r, t) contributes
+        max(ifun(r), 0.3) to h→t and max(fun(r), 0.3) to t→h, where
+        fun(r) = |distinct heads of r| / |triples of r| and ifun(r)
+        likewise on tails — high-functionality relations carry more
+        alignment signal, the 0.3 floor (reference's get_weighted_adj)
+        keeps low-functionality relations from vanishing, and h==t
+        triples are skipped (reference does both);
       propagation: h ← L2norm(gate·h + (1−gate)·Â_w·h) per layer
         (the highway residual of GCN-Align's layer stack), Â_w the
         weighted sym-normalized adjacency;
@@ -326,25 +329,45 @@ def train_embeddings_gcn_np(
     h = _norm_rows(np.vstack([emb1, emb2]).astype(np.float64))
     n = n1 + n2
 
-    edges: list[tuple[int, int, float]] = []
-    for tri, loc in ((triples1, loc1), (triples2, loc2)):
+    # Edge weights match get_weighted_adj (`models/gcn_align/utils.py`
+    # in the reference, func/ifunc + the M dict): self-loop (h==t)
+    # triples are SKIPPED, each surviving triple contributes
+    # max(ifun(r), 0.3) to h→t and max(fun(r), 0.3) to t→h (the weight
+    # floor keeps low-functionality relations from vanishing), and
+    # duplicate (h, t) pairs ACCUMULATE (np.add.at below). Fully
+    # vectorized: grouped unique counts for fun/ifun, searchsorted for
+    # the global→local id mapping — no per-triple Python loop.
+    def _map_local(vals: np.ndarray, ids: np.ndarray, offset: int) -> np.ndarray:
+        order = np.argsort(ids, kind="stable")
+        srt = ids[order]
+        pos = np.clip(np.searchsorted(srt, vals), 0, max(len(ids) - 1, 0))
+        ok = srt[pos] == vals
+        return np.where(ok, order[pos] + offset, -1)
+
+    e_parts: list[np.ndarray] = []
+    w_parts: list[np.ndarray] = []
+    for tri, ids, off in ((triples1, ids1, 0), (triples2, ids2, n1)):
+        if not len(tri) or not len(ids):
+            continue
+        tri = tri[tri[:, 0] != tri[:, 2]]
         if not len(tri):
             continue
         uniq, inv = np.unique(tri[:, 1], return_inverse=True)
         n_tri = np.bincount(inv).astype(np.float64)
-        fun = np.empty(len(uniq))
-        ifun = np.empty(len(uniq))
-        for k in range(len(uniq)):
-            m = inv == k
-            fun[k] = len(np.unique(tri[m, 0])) / n_tri[k]
-            ifun[k] = len(np.unique(tri[m, 2])) / n_tri[k]
-        for row, ri in zip(tri, inv):
-            s_, _, t_ = int(row[0]), int(row[1]), int(row[2])
-            if s_ in loc and t_ in loc:
-                ls, lt = loc[s_], loc[t_]
-                edges.append((ls, lt, float(ifun[ri])))
-                edges.append((lt, ls, float(fun[ri])))
-    edges.sort()
+        heads = np.unique(np.stack([inv, tri[:, 0]], axis=1), axis=0)
+        tails = np.unique(np.stack([inv, tri[:, 2]], axis=1), axis=0)
+        fun = np.maximum(
+            np.bincount(heads[:, 0], minlength=len(uniq)) / n_tri, 0.3)
+        ifun = np.maximum(
+            np.bincount(tails[:, 0], minlength=len(uniq)) / n_tri, 0.3)
+        src = _map_local(tri[:, 0], ids, off)
+        dst = _map_local(tri[:, 2], ids, off)
+        keep = (src >= 0) & (dst >= 0)
+        src, dst, inv = src[keep], dst[keep], inv[keep]
+        e_parts.append(np.stack([np.concatenate([src, dst]),
+                                 np.concatenate([dst, src])], axis=1))
+        w_parts.append(np.concatenate([ifun[inv], fun[inv]]))
+    edges = bool(e_parts)
 
     sd = np.array(sorted(
         (int(a), int(b)) for a, b in seeds if a in loc1 and b in loc2
@@ -361,8 +384,11 @@ def train_embeddings_gcn_np(
 
     h = pin(h)
     if edges:
-        e = np.array([(a, b) for a, b, _ in edges], dtype=np.int64)
-        ew = np.array([w for _, _, w in edges], dtype=np.float64)
+        e = np.concatenate(e_parts, axis=0).astype(np.int64)
+        ew = np.concatenate(w_parts).astype(np.float64)
+        # deterministic accumulation order regardless of shuffle arrival
+        order = np.lexsort((ew, e[:, 1], e[:, 0]))
+        e, ew = e[order], ew[order]
         deg = np.zeros(n)
         np.add.at(deg, e[:, 0], ew)
         wn = ew / np.sqrt(

@@ -26,6 +26,7 @@ from ..operators import simops
 from ..operators.blocking import minhash_candidates
 from ..operators.knn import knn_topk
 from ..sources.kg import KGPair
+from ..session import session_shuffle_width
 
 
 def entity_names(ent: DataFrame, punct_to_space: bool) -> DataFrame:
@@ -59,8 +60,12 @@ def string_similarity(
     # rows are ~100 bytes but the Levenshtein DP is O(|a|·|b|) compute
     # per row — AQE's byte-based coalescing would serialize it (the
     # explicit-count repartition is exempt from coalescing; PLANS.md
-    # "compute-dense Arrow stages")
-    width = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # "compute-dense Arrow stages"). Deliberately ALWAYS a shuffle (not
+    # widen-only): the repartition must be the LAST exchange before the
+    # DP so its width survives into the scoring stage regardless of how
+    # the two dimension joins above were planned; the pair rows are tiny
+    # so the extra exchange is bytes-cheap even at full corpus scale.
+    width = session_shuffle_width(cand.sparkSession)
     scored = (
         cand.join(n1.select(F.col("id").alias("src"), F.col("name").alias("n1")), "src")
         .join(n2.select(F.col("id").alias("dst"), F.col("name").alias("n2")), "dst")

@@ -58,3 +58,17 @@ def get_spark(
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver testdata table (TESTDATA.md)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def session_shuffle_width(spark: SparkSession) -> int:
+    """Canonical shuffle width for pinned repartitions and blocking grids.
+
+    ``spark.sql.shuffle.partitions`` when it parses as an int (so results
+    stay a function of SESSION CONFIG, bit-identical across parallelism
+    levels — the xpar determinism contract); on platforms that set the
+    conf to a non-numeric value (e.g. ``auto`` under Databricks AQE auto
+    shuffle partitions) fall back to ``sparkContext.defaultParallelism``."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
