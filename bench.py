@@ -402,11 +402,14 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
             " minus the token channel — hence fused here ≠ QUALITY.md's"
             " fused by a small margin)",
             "",
-            "| channel | Hits@1 | MRR |",
-            "|---|---|---|",
-            f"| structure (anchor-trained, gold seeds) | {alignment['structure_hits1']} | {alignment['structure_mrr']} |",
-            f"| fused (structure weight 1.0) | {alignment['fused_hits1']} | {alignment['fused_mrr']} |",
-            f"| fused, semi round 2 (M4/M8) | {alignment['fused_semi_r2_hits1']} | {alignment['fused_semi_r2_mrr']} |",
+            "| channel | Hits@1 | MRR | CSLS Hits@1 | CSLS MRR |",
+            "|---|---|---|---|---|",
+            f"| structure (anchor-trained, gold seeds) | {alignment['structure_hits1']} | {alignment['structure_mrr']} | — | — |",
+            f"| fused (structure weight 1.0) | {alignment['fused_hits1']} | {alignment['fused_mrr']} | {alignment.get('fused_csls_hits1', '—')} | {alignment.get('fused_csls_mrr', '—')} |",
+            f"| fused, semi round 2 (M4/M8) | {alignment['fused_semi_r2_hits1']} | {alignment['fused_semi_r2_mrr']} | {alignment.get('fused_semi_r2_csls_hits1', '—')} | {alignment.get('fused_semi_r2_csls_mrr', '—')} |",
+            "",
+            "CSLS columns use the reference's test-time re-scoring",
+            "protocol (models/rrea/CSLS.py; k=10 neighborhood means).",
         ]
     lines += [
         "",
@@ -546,6 +549,14 @@ def _alignment_quality(spark) -> dict:
         m = evalx.hits_and_mrr(s, test, ks=(1, 5), n_src=n_src)
         out[f"{name}_hits1"] = round(m["hits@1"], 4)
         out[f"{name}_mrr"] = round(m["MRR"], 4)
+    # CSLS is the reference's own test-time protocol (models/rrea/CSLS.py)
+    # and adds +0.04-0.05 H@1 at 50k ents (SCALE.md) — report it for the
+    # fused sims alongside raw so both protocols track round-over-round
+    for name, s in (("fused", fused), ("fused_semi_r2", fused2)):
+        mc = evalx.hits_and_mrr(simops.csls_rescore(s, k=10), test,
+                                ks=(1, 5), n_src=n_src)
+        out[f"{name}_csls_hits1"] = round(mc["hits@1"], 4)
+        out[f"{name}_csls_mrr"] = round(mc["MRR"], 4)
     return out
 
 

@@ -33,6 +33,24 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.array(series.tolist(), dtype=np.float64)
 
 
+def _cast_shuffle_dtype(df: DataFrame, emb_col: str,
+                        shuffle_dtype: str | None) -> DataFrame:
+    """Cast the embedding column BEFORE the replication/shuffle stages.
+
+    The kNN family replicates embeddings through shuffles (queries
+    ×n_blocks in the grid, ×nprobe in IVF) — at d=768 a float64 array is
+    ~6 KB/row and the replication multiplies it. Name/structure
+    embeddings carry ~7 significant digits of real signal, so float32
+    through the WIRE halves every one of those shuffles; the numpy
+    kernels still accumulate in float64 (``_to_matrix``). Callers that
+    need exact reconstruction of float64 inputs (the low-rank L5 gate)
+    pass ``shuffle_dtype=None`` to ship input precision unchanged."""
+    if shuffle_dtype is None:
+        return df
+    spark_t = "float" if shuffle_dtype == "float32" else shuffle_dtype
+    return df.withColumn(emb_col, F.col(emb_col).cast(f"array<{spark_t}>"))
+
+
 def _shuffle_width(df: DataFrame) -> int:
     """The engine's canonical shuffle width (``spark.sql.shuffle.partitions``).
 
@@ -56,6 +74,21 @@ def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:
     from AQE coalescing (REPARTITION_BY_NUM shuffle origin), pinning
     the stage at full width. PLANS.md "compute-dense Arrow stages"."""
     return df.repartition(_shuffle_width(df), *[F.col(c) for c in cols])
+
+
+# per-task transient budget for GEMM scoring: the sims chunk plus
+# argpartition's negated copy are the peak allocations, each
+# chunk_rows × cell_rows float64. 50M elements ≈ 400 MB bounds peak
+# per-task memory at ~1 GB at ANY cell size — the fixed-chunk default
+# (4096) against 33k-row cells drove workers to 4.3 GB RES and 50%
+# kernel (allocator) time at 200k index rows on local[32].
+_GEMM_BUDGET_ELEMS = 50_000_000
+
+
+def _bounded_chunk(requested: int, n_index_rows: int) -> int:
+    """Query-rows-per-GEMM-chunk capped so chunk×cell stays within the
+    transient budget; chunking never changes results (per-row top-k)."""
+    return max(256, min(requested, _GEMM_BUDGET_ELEMS // max(n_index_rows, 1)))
 
 
 def _auto_grid(n_q: int, n_idx: int, n_query_blocks: int, n_blocks: int,
@@ -85,6 +118,7 @@ def knn_topk(
     normalize: bool = True,
     n_blocks: int | None = None, n_query_blocks: int | None = None,
     gemm_chunk: int = 4096, metric: str = "l2sim",
+    shuffle_dtype: str | None = "float32",
 ) -> DataFrame:
     """Exact top-k: returns (src=query id, dst=index id, sim).
 
@@ -99,6 +133,8 @@ def knn_topk(
     plan runs at 1e9 rows. Replication cost: queries ×n_blocks,
     index ×n_query_blocks (the FAISS double-batching shape,
     `text_utils.py:291-333`, distributed)."""
+    query = _cast_shuffle_dtype(query, emb_col, shuffle_dtype)
+    index = _cast_shuffle_dtype(index, emb_col, shuffle_dtype)
     auto = n_blocks is None and n_query_blocks is None
     if n_blocks is None:
         n_idx = index.count()
@@ -140,8 +176,9 @@ def knn_topk(
         xsq = (xm * xm).sum(axis=1)[None, :]
         xid = right_it["xid"].to_numpy()
         frames = []
-        for lo in range(0, len(left_it), gemm_chunk):
-            chunk = left_it.iloc[lo : lo + gemm_chunk]
+        step = _bounded_chunk(gemm_chunk, len(xm))
+        for lo in range(0, len(left_it), step):
+            chunk = left_it.iloc[lo : lo + step]
             qm = _to_matrix(chunk["qemb"])
             if normalize:
                 qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -178,6 +215,7 @@ def knn_topk_grouped(
     group_col: str = "batch", id_col: str = "id", emb_col: str = "emb",
     block_rows: int = 100_000, query_block_rows: int = 25_000,
     normalize: bool = True, gemm_chunk: int = 4096,
+    shuffle_dtype: str | None = "float32",
 ) -> DataFrame:
     """Exact per-group top-k in ONE cogrouped stage: queries only match
     index rows sharing ``group_col`` (the batch id). Replaces a
@@ -192,6 +230,8 @@ def knn_topk_grouped(
     results match a per-group loop of knn_topk up to exact-tie selection
     at the k boundary (the loop's single-block path keeps argpartition
     order there)."""
+    query = _cast_shuffle_dtype(query, emb_col, shuffle_dtype)
+    index = _cast_shuffle_dtype(index, emb_col, shuffle_dtype)
     mx_i = index.groupBy(group_col).count().agg(F.max("count")).first()
     mx_q = query.groupBy(group_col).count().agg(F.max("count")).first()
     if mx_i is None or mx_i[0] is None or mx_q is None or mx_q[0] is None:
@@ -227,8 +267,9 @@ def knn_topk_grouped(
         xsq = (xm * xm).sum(axis=1)[None, :]
         xid = right_it["xid"].to_numpy()
         frames = []
-        for lo in range(0, len(left_it), gemm_chunk):
-            chunk = left_it.iloc[lo : lo + gemm_chunk]
+        step = _bounded_chunk(gemm_chunk, len(xm))
+        for lo in range(0, len(left_it), step):
+            chunk = left_it.iloc[lo : lo + step]
             qm = _to_matrix(chunk["qemb"])
             if normalize:
                 qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -258,7 +299,7 @@ def ann_topk_lsh(
     query: DataFrame, index: DataFrame, k: int = 50,
     id_col: str = "id", emb_col: str = "emb",
     n_planes: int = 12, seed: int = 7, normalize: bool = True,
-    probe_bits: int = 0,
+    probe_bits: int = 0, shuffle_dtype: str | None = "float32",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing: both sides
     hashed to a signed-projection bucket; candidates scored only within
@@ -266,6 +307,8 @@ def ann_topk_lsh(
 
     Candidate join on the bucket key is a plain sort-merge equi-join —
     at 1e9+ rows this is the scale path (no query replication)."""
+    query = _cast_shuffle_dtype(query, emb_col, shuffle_dtype)
+    index = _cast_shuffle_dtype(index, emb_col, shuffle_dtype)
     dims = len(query.select(emb_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dims))
@@ -356,6 +399,7 @@ def ivf_topk(
     id_col: str = "id", emb_col: str = "emb",
     nlist: int = 64, nprobe: int = 8, sample_rows: int = 20_000,
     normalize: bool = True, seed: int = 11,
+    shuffle_dtype: str | None = "float32",
 ) -> DataFrame:
     """IVF approximate top-k (the 1e9-row scale path): a k-means coarse
     quantizer partitions the index into ``nlist`` cells; each query
@@ -364,7 +408,14 @@ def ivf_topk(
     semantics; same sim = 1−L2² scoring as knn_topk).
 
     Centroids are trained on a deterministic driver-side sample
-    (smallest xxhash64(id) rows — reproducible at any parallelism)."""
+    (smallest xxhash64(id) rows — reproducible at any parallelism).
+
+    Query embeddings ship ×nprobe through the cell cogroup shuffle —
+    the dominant IVF data movement — so ``shuffle_dtype='float32'``
+    (default) halves it for float64 inputs; scoring still accumulates
+    in float64 executor-side."""
+    query = _cast_shuffle_dtype(query, emb_col, shuffle_dtype)
+    index = _cast_shuffle_dtype(index, emb_col, shuffle_dtype)
     samp_pdf = (
         index.select(F.col(id_col), F.col(emb_col))
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -419,8 +470,9 @@ def ivf_topk(
         xsq = (xm * xm).sum(1)[None, :]
         xid = right["id"].to_numpy()
         frames = []
-        for lo in range(0, len(left), 4096):
-            chunk = left.iloc[lo: lo + 4096]
+        step = _bounded_chunk(4096, len(xm))
+        for lo in range(0, len(left), step):
+            chunk = left.iloc[lo: lo + step]
             qm = _to_matrix(chunk["emb"])
             if normalize:
                 qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -441,8 +493,13 @@ def ivf_topk(
     )
     from .simops import topk_per_row
 
-    dedup = per_cell.groupBy(SRC, DST).agg(F.max(SIM).alias(SIM))
-    return topk_per_row(dedup, k, SRC)
+    # no (src,dst) dedup needed — unlike the LSH multiprobe path, every
+    # index row is assigned to exactly ONE cell (d2.argmin), so a query
+    # probing nprobe cells sees each dst at most once; the groupBy
+    # dedup that used to sit here re-shuffled all nprobe·k candidate
+    # rows per query (the largest incompressible shuffle in the job,
+    # SCALE.md "IVF economics") for nothing
+    return topk_per_row(per_cell, k, SRC)
 
 
 def _elem_type(df: DataFrame, emb_col: str) -> str:

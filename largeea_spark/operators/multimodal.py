@@ -46,14 +46,160 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def real_decode_stub(content: bytes, kind: str):
-    """Where a real codec plugs in (PIL/librosa/ffmpeg). Not available in
-    this container — see ``fake_decode`` for the deterministic stand-in
-    used by tests."""
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "swap in PIL/librosa/pyav here on a real cluster"
+def synth_image_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Fixture of REAL decodable images (alternating PPM P6 / 24-bit
+    BMP, deterministic gradient+noise pixels) in the MEDIA_SCHEMA shape
+    — drives the actual decode → resize → features path in-sandbox."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i * 7) % 48, 16 + (i * 11) % 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            rng.integers(0, 256, (h, w)),
+        ], axis=2).astype(np.uint8)
+        if i % 2 == 0:
+            payload = encode_ppm(img)
+            mime = "image/x-portable-pixmap"
+        else:
+            payload = _encode_bmp24(img)
+            mime = "image/bmp"
+        rows.append((i, "image", bytearray(payload), mime, w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _encode_bmp24(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP (bottom-up,
+    row-padded) — the fixture-side counterpart of ``decode_image``."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
     )
+    return header + data
+
+
+def real_decode_stub(content: bytes, kind: str):
+    """Where a full codec stack plugs in (PIL/librosa/ffmpeg). Images in
+    PPM/BMP are decoded for real by ``decode_image`` (stdlib-only, no
+    external codec needed); everything else raises — see ``fake_decode``
+    for the deterministic stand-in used by plumbing tests."""
+    if kind == "image":
+        return decode_image(content)
+    raise NotImplementedError(
+        "audio/video codecs are not installed in this environment; "
+        "swap in librosa/pyav here on a real cluster"
+    )
+
+
+# ---------------------------------------------------------------------------
+# real in-sandbox image codec (stdlib + numpy only): PPM P6/P3 and
+# 24-bit uncompressed BMP — enough to run decode → resize → features
+# end-to-end on real pixel data; other formats keep the documented
+# NotImplementedError seam for PIL on a real cluster
+# ---------------------------------------------------------------------------
+
+def _ppm_tokens(b: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII ints from a PPM header,
+    skipping ``#`` comments; returns (values, next offset)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        vals.append(int(b[i:j]))
+        i = j
+    return vals, i
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """bytes → (H, W, 3) uint8 RGB. Supports PPM P6 (binary) / P3
+    (ASCII) and uncompressed 24-bit BMP; raises NotImplementedError for
+    other formats (the PIL seam)."""
+    b = bytes(content)
+    if b[:2] in (b"P6", b"P3"):
+        (w, h, maxval), i = _ppm_tokens(b, 3, 2)
+        if b[:2] == b"P6":
+            i += 1  # single whitespace byte after maxval
+            arr = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+        else:
+            vals, _ = _ppm_tokens(b, w * h * 3, i)
+            arr = np.array(vals, dtype=np.uint8)
+        if maxval != 255:
+            arr = (arr.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+        return arr.reshape(h, w, 3)
+    if b[:2] == b"BM":
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB "
+                "is decoded in-sandbox (PIL seam for the rest)"
+            )
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # positive height = bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    raise NotImplementedError(
+        "unsupported image format (PPM P6/P3 and 24-bit BMP decode "
+        "in-sandbox; swap in PIL here on a real cluster)"
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PPM P6 bytes (the round-trip sink format)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nn(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure numpy indexing (deterministic,
+    no interpolation library)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray, dim: int = 32) -> np.ndarray:
+    """Deterministic pixel-level features: per-channel mean/std + a
+    grayscale intensity histogram, L2-normalized and padded/truncated
+    to ``dim`` (same shape/dtype contract as an embedding model)."""
+    f = img.astype(np.float64) / 255.0
+    stats = np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1))])
+    gray = f.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=max(dim - 6, 2), range=(0.0, 1.0))
+    hist = hist / max(gray.size, 1)
+    v = np.concatenate([stats, hist])[:dim]
+    v = np.pad(v, (0, dim - len(v)))
+    return (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32)
 
 
 def fake_decode(content: bytes, dim: int = 32) -> np.ndarray:
@@ -75,7 +221,11 @@ def extract_features(media: DataFrame, dim: int = 32,
             feats = []
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 if use_real_codec:
-                    real_decode_stub(bytes(content), kind)  # raises
+                    # PPM/BMP images decode for real (pixel features);
+                    # audio/video raise here — the librosa/pyav seam
+                    img = real_decode_stub(bytes(content), kind)
+                    feats.append(image_features(img, dim).tolist())
+                    continue
                 feats.append(fake_decode(bytes(content), dim).tolist())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"], "kind": pdf["kind"],
@@ -88,11 +238,13 @@ def extract_features(media: DataFrame, dim: int = 32,
     )
 
 
-def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Image resize plumbing: filters to images, computes target scale
-    metadata JVM-side, and routes bytes through the (stubbed) resizer in
-    mapInPandas. The fake 'resize' re-hashes bytes to the target size
-    marker — real PIL drops in at the marked line."""
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                  use_real_codec: bool = False) -> DataFrame:
+    """Image resize: filters to images, computes target metadata
+    JVM-side, routes bytes through the resizer in mapInPandas. With
+    ``use_real_codec`` the PPM/BMP decode → nearest-neighbor resize →
+    PPM re-encode path runs on real pixels (stdlib codec above); the
+    default keeps the hash stand-in for opaque formats."""
     imgs = media.where(F.col("kind") == "image")
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,7 +252,11 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
             out_bytes = []
             for content in pdf["content"]:
                 b = bytes(content)
-                # REAL: PIL.Image.open(io.BytesIO(b)).resize((w,h)).tobytes()
+                if use_real_codec:
+                    out_bytes.append(
+                        encode_ppm(resize_nn(decode_image(b), target_w, target_h))
+                    )
+                    continue
                 out_bytes.append(hashlib.sha256(b).digest())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

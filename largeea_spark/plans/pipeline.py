@@ -105,23 +105,30 @@ def align_kg_pair(
     structure_layers: int = 2, emb_dim: int | str = "auto",
     use_token_channel: bool = False, token_weight: float = 0.3,
     structure_weight: float = 1.0, k_parts: int = 4,
-    structure_impl: str = "batched", structure_algo: str = "anchor",
+    structure_impl: str = "auto", structure_algo: str = "anchor",
     top_k_corr: int = 1, it_rounds: int = 1, semi_margin: float = 0.05,
-    knn_method: str = "auto",
+    knn_method: str = "auto", encoder="hashed",
 ) -> dict:
     """Two-KG alignment, reference phase order (`main.py:242-369`):
     name channel (string+embedding) → structure channel → fusion → eval.
     Each sim is a checkpointed stage (S4 analogue).
 
     The default structure channel is the batched seed-anchor trainer
-    (``structure_impl='batched'``, ``structure_algo='anchor'``) trained
-    on GOLD seeds only, fused at the reference's weight 1.0
-    (`main.py:356`). ``structure_impl='propagate'`` keeps the
-    training-free propagation channel (L8/L9).
+    (``structure_impl='auto'`` → 'batched', ``structure_algo='anchor'``)
+    trained on GOLD seeds only, fused at the reference's weight 1.0
+    (`main.py:356`). ``structure_impl='propagate'`` pins the
+    training-free propagation channel (L8/L9) — economical below ~256
+    dims only (12× the trainer's cost at d=768, SCALE.md); the choice
+    is logged via the ``structure_impl_choice`` metrics row.
 
     ``emb_dim='auto'`` (default) widens the hashed name encoder from
     64 to 128 dims above 60k total entities — collision noise at fixed
     width grows with entity count (SCALE.md "Iterative quality").
+
+    ``encoder``: ``'hashed'`` (default) or a zero-arg model loader for
+    a real transformer encoder (``model_name_encoder`` seam,
+    `emb_loader.py:119-182`) — threads through BOTH channels' name
+    embeddings (the structure channel initializes from them too).
 
     ``it_rounds > 1`` enables iterative semi-supervision (M4/M8,
     `models/rrea/rrea.py:182-211`, `EAKit/semi_utils.py:20-110`): each
@@ -139,6 +146,22 @@ def align_kg_pair(
         n_ents = pair.kg1.ent.count() + pair.kg2.ent.count()
         emb_dim = 128 if n_ents >= 60_000 else 64
 
+    # structure-impl routing (same policy shape as emb_dim='auto'):
+    # the chunked-propagation channel (L8, ≤128 agg cols per groupBy)
+    # is correct at any width but costs ~12× the grouped trainer at
+    # d=768 (SCALE.md "d=768 soak") — 'auto' always takes the grouped
+    # trainer; 'propagate' stays available as an explicit pin, and a
+    # high-dim pin is logged so the 12× choice is never silent.
+    requested_impl = structure_impl
+    if structure_impl == "auto":
+        structure_impl = "batched"
+    store.log_metrics("structure_impl_choice", {
+        "requested": requested_impl, "resolved": structure_impl,
+        "emb_dim": int(emb_dim),
+        "high_dim_propagate_pinned":
+            structure_impl == "propagate" and int(emb_dim) >= 256,
+    })
+
     blocking_stats: dict = {}
 
     def build_string():
@@ -153,7 +176,7 @@ def align_kg_pair(
     sim_embed = store.checkpoint(
         "sim_embed",
         lambda: name_channel.name_embedding_similarity(
-            pair, k=knn_k, dim=emb_dim, method=knn_method
+            pair, k=knn_k, dim=emb_dim, method=knn_method, encoder=encoder
         ),
     )
     seeds = store.checkpoint(
@@ -169,8 +192,10 @@ def align_kg_pair(
 
             n1 = name_channel.entity_names(pair.kg1.ent, punct_to_space=False)
             n2 = name_channel.entity_names(pair.kg2.ent, punct_to_space=False)
-            e1 = encode_names(n1, "name", dim=emb_dim).select("id", "emb")
-            e2 = encode_names(n2, "name", dim=emb_dim).select("id", "emb")
+            e1 = encode_names(n1, "name", dim=emb_dim,
+                              encoder=encoder).select("id", "emb")
+            e2 = encode_names(n2, "name", dim=emb_dim,
+                              encoder=encoder).select("id", "emb")
             lks = train if extra_links is None else (
                 train.unionByName(extra_links.select("e1", "e2")).distinct()
             )

@@ -97,6 +97,11 @@ def main():
     rows = []
     for name, s in sims.items():
         m = evalx.hits_and_mrr(s, test, ks=(1, 5, 50), n_src=n_src)
+        # CSLS = the reference's own test-time protocol
+        # (models/rrea/CSLS.py): report it by default for every channel
+        mc = evalx.hits_and_mrr(simops.csls_rescore(s, k=10), test,
+                                ks=(1,), n_src=n_src)
+        m["csls_hits@1"] = mc["hits@1"]
         rows.append((name, m))
         print(name, {k: round(v, 4) for k, v in m.items()})
 
@@ -115,13 +120,14 @@ def main():
         f" partitions, trained on GOLD seeds only. Eval: Hits@k +"
         f" truncated MRR (`eval.py:202-220`), fail-rank n/2.",
         "",
-        "| channel | Hits@1 | Hits@5 | Hits@50 | MRR |",
-        "|---|---|---|---|---|",
+        "| channel | Hits@1 | Hits@5 | Hits@50 | MRR | CSLS Hits@1 |",
+        "|---|---|---|---|---|---|",
     ]
     for name, m in rows:
         lines.append(
             f"| {name} | {m['hits@1']:.4f} | {m['hits@5']:.4f} |"
             f" {m['hits@50']:.4f} | {m['MRR']:.4f} |"
+            f" {m['csls_hits@1']:.4f} |"
         )
     lines += [
         "",
