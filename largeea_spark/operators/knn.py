@@ -91,6 +91,22 @@ def _bounded_chunk(requested: int, n_index_rows: int) -> int:
     return max(256, min(requested, _GEMM_BUDGET_ELEMS // max(n_index_rows, 1)))
 
 
+def _widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Widen-only round-robin repartition to the session shuffle width
+    before a compute-dense mapInPandas pass (same starvation family as
+    blocking.widen_if_narrow): checkpointed embedding tables arrive
+    AQE-coalesced to 1-2 partitions (a 200k×128 table is ~10 MB of
+    compressed bytes — below one advisory partition), so the IVF/LSH
+    ASSIGN kernels (m @ centroids GEMM + per-row argsort) ran 2-wide on
+    a 32-core session (94 s/task observed at 200k). Inputs already at
+    width pass through untouched; row-level kernels are partition-
+    agnostic, so results are unchanged."""
+    width = session_shuffle_width(df.sparkSession)
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
+
+
 def _auto_grid(n_q: int, n_idx: int, n_query_blocks: int, n_blocks: int,
                width: int) -> tuple[int, int]:
     """Widen a (query-blocks × index-blocks) grid until it has at least
@@ -127,10 +143,11 @@ def knn_topk(
 
     2-D grid block-nested-loop: index hashed into ``n_blocks`` blocks,
     queries into ``n_query_blocks``; each (query-block × index-block)
-    cell is one Arrow cogroup task whose GEMM is further chunked to
-    ``gemm_chunk`` query rows — per-task memory is
-    O(gemm_chunk · block_rows), independent of total size, so the same
-    plan runs at 1e9 rows. Replication cost: queries ×n_blocks,
+    cell is one Arrow cogroup task whose GEMM is chunked to at most
+    ``min(gemm_chunk, 50M elems / cell_rows)`` query rows — per-task
+    transient memory is bounded by a FIXED element budget independent
+    of total size AND cell size, so the same plan runs at 1e9 rows on
+    4 GB/core executors. Replication cost: queries ×n_blocks,
     index ×n_query_blocks (the FAISS double-batching shape,
     `text_utils.py:291-333`, distributed)."""
     query = _cast_shuffle_dtype(query, emb_col, shuffle_dtype)
@@ -337,8 +354,8 @@ def ann_topk_lsh(
         return fn
 
     schema = f"id long, bucket long, emb array<{_elem_type(query, emb_col)}>"
-    qb = query.mapInPandas(bucketize("q"), schema=schema)
-    xb = index.mapInPandas(bucketize("x"), schema=schema)
+    qb = _widen_if_narrow(query).mapInPandas(bucketize("q"), schema=schema)
+    xb = _widen_if_narrow(index).mapInPandas(bucketize("x"), schema=schema)
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -456,8 +473,8 @@ def ivf_topk(
         return fn
 
     schema = f"id long, cell int, emb array<{_elem_type(index, emb_col)}>"
-    xa = index.mapInPandas(assign("x"), schema=schema)
-    qa = query.mapInPandas(assign("q"), schema=schema)
+    xa = _widen_if_narrow(index).mapInPandas(assign("x"), schema=schema)
+    qa = _widen_if_narrow(query).mapInPandas(assign("q"), schema=schema)
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:

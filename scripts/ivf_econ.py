@@ -77,9 +77,11 @@ def main():
         def run_ivf():
             return ivf_topk(e1, e2, k=50, nlist=nlist, nprobe=nprobe).count()
 
-        # interleaved pairs: (brute, ivf) × 2, per-pair ratio, median
+        # interleaved pairs: (brute, ivf), per-pair ratio, median; one
+        # pair above 200k (a single 500k brute is ~25 min of GEMM)
+        reps = 2 if n <= 200_000 else 1
         times = {"brute": [], "ivf": []}
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time(); run_brute(); times["brute"].append(time.time() - t0)
             t0 = time.time(); run_ivf(); times["ivf"].append(time.time() - t0)
         ratios = sorted(b / i for b, i in zip(times["brute"], times["ivf"]))
@@ -124,9 +126,13 @@ def main():
         }
         print(row, flush=True)
         results.append(row)
+        _append_row(row)  # per size, so a timeout can't lose finished work
         for df in (e1, e2, e1d, e2d, sample, exact):
             df.unpersist()
+    spark.stop()
 
+
+def _append_row(r: dict):
     md = open("/root/repo/SCALE.md").read()
     with open("/root/repo/SCALE.md", "a") as f:
         if "## IVF economics" not in md:
@@ -137,21 +143,20 @@ def main():
                 "stage alone (default channel params, dim=128 hashed\n"
                 "encoder, local[32]); recall@50 of IVF vs brute on 2000\n"
                 "sampled queries; shuffle-byte cut = the same IVF job on\n"
-                "float64 inputs with the float32 wire cast off vs on.\n\n"
-                "| index rows | nlist/nprobe | brute sec (×2) | ivf sec (×2) |"
+                "DENSE random float64 inputs (transformer/trainer shape)\n"
+                "with the float32 wire cast off vs on.\n\n"
+                "| index rows | nlist/nprobe | brute sec | ivf sec |"
                 " speedup (median pair) | recall@50 | ivf shuffle MB f64 wire |"
                 " f32 wire | cut |\n"
                 "|---|---|---|---|---|---|---|---|---|\n"
             )
-        for r in results:
-            f.write(
-                f"| {r['n']} | {r['nlist']}/{r['nprobe']} |"
-                f" {r['brute_sec']} | {r['ivf_sec']} |"
-                f" {r['speedup_median_pair']}× | {r['recall@50']} |"
-                f" {r['ivf_shuffle_mb_f64wire']} |"
-                f" {r['ivf_shuffle_mb_f32wire']} | {r['wire_cut']} |\n"
-            )
-    spark.stop()
+        f.write(
+            f"| {r['n']} | {r['nlist']}/{r['nprobe']} |"
+            f" {r['brute_sec']} | {r['ivf_sec']} |"
+            f" {r['speedup_median_pair']}× | {r['recall@50']} |"
+            f" {r['ivf_shuffle_mb_f64wire']} |"
+            f" {r['ivf_shuffle_mb_f32wire']} | {r['wire_cut']} |\n"
+        )
 
 
 if __name__ == "__main__":

@@ -87,6 +87,40 @@ def test_knn_float32_wire_matches_float64(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF assign-stage starvation fix: a narrow (1-partition) checkpointed
+# embedding table must fan the assign mapInPandas out to shuffle width,
+# and the per-cell plan must carry NO (src,dst) dedup aggregate (index
+# rows live in exactly one cell, so duplicates are impossible)
+# ---------------------------------------------------------------------------
+
+def test_ivf_assign_widened_and_dedup_free(spark):
+    import pandas as pd
+
+    from largeea_spark.operators.knn import ivf_topk
+
+    rng = np.random.default_rng(11)
+    n = 800
+    e = spark.createDataFrame(pd.DataFrame({
+        "id": range(n),
+        "emb": [v.astype(np.float32).tolist()
+                for v in rng.standard_normal((n, 16))],
+    })).coalesce(1).localCheckpoint(eager=True)
+    assert e.rdd.getNumPartitions() == 1
+    out = ivf_topk(e, e, k=5, nlist=8, nprobe=3, sample_rows=800)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the widen-only repartition shows up as a round-robin exchange
+    assert "REPARTITION_BY_NUM" in plan, plan[:1200]
+    # no HashAggregate between the cogroup scoring and the window top-k
+    # (the old groupBy(src,dst).max dedup) — Window + WindowGroupLimit
+    # only
+    cog = plan.index("FlatMapCoGroupsInPandas")
+    above = plan[:cog]
+    assert "HashAggregate" not in above, above[:1200]
+    assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
 # GCN backbone parity details (ADVICE r3): weight floor + self-loop skip
 # match get_weighted_adj; vectorized edges stay deterministic
 # ---------------------------------------------------------------------------
