@@ -62,7 +62,7 @@ def _kernel_worker(args):
     return time.time() - t0, n_out
 
 
-def kernel_probe(n_pages: int = 20_000, reps: int = 2):
+def kernel_probe(n_pages: int = 40_000, reps: int = 4):
     import multiprocessing as mp
 
     from largeea_spark.sources import fixtures
@@ -85,6 +85,43 @@ def kernel_probe(n_pages: int = 20_000, reps: int = 2):
     return {"t2": round(out[2], 2), "t8": round(out[8], 2),
             "pages_per_sec_2": round(thr2), "pages_per_sec_8": round(thr8),
             "kernel_eff_2to8": round(eff, 3)}
+
+
+# ---------------------------------------------------------------------------
+# C. pure string-sort/hash probe (no Spark): the ids sub-step's
+# dominant kernel — range-sort + hash-partition of entity-name strings
+# is DRAM-streaming/pointer-chasing work, the worst case for shared
+# memory controllers. Fixed work PER CORE, pinned procs.
+# ---------------------------------------------------------------------------
+
+def _sort_worker(args):
+    cpu, names, reps = args
+    os.sched_setaffinity(0, {cpu})
+    t0 = time.time()
+    for _ in range(reps):
+        s = sorted(names)
+        _ = [hash(x) % 1024 for x in s]
+    return time.time() - t0
+
+
+def sort_probe(n_names: int = 800_000, reps: int = 4):
+    import multiprocessing as mp
+
+    from largeea_spark.sources.fixtures import _base_name
+
+    names = [_base_name(i) + f"_{i % 997}" for i in range(n_names)]
+    _sort_worker((0, names[:20000], 1))  # warmup
+
+    def run(p):
+        with mp.get_context("spawn").Pool(p) as pool:
+            return max(pool.map(_sort_worker,
+                                [(c, names, reps) for c in range(p)]))
+
+    t2 = min(run(2) for _ in range(2))
+    t8 = min(run(8) for _ in range(2))
+    eff = (8 / t8) / (2 / t2) / 4
+    return {"t2": round(t2, 2), "t8": round(t8, 2),
+            "sort_hash_eff_2to8": round(eff, 3)}
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +208,10 @@ def main():
     k = kernel_probe()
     print(k, flush=True)
 
+    print("== C. pure string-sort/hash kernel (no Spark) ==", flush=True)
+    sp = sort_probe()
+    print(sp, flush=True)
+
     print("== B. construct sub-steps, pinned local[2] vs local[8] ==", flush=True)
     pairs = []
     for _ in range(2):
@@ -199,6 +240,9 @@ def main():
             f" pairs, {pairs[0][0]['n_pages']} pages): extract"
             f" {effs['extract_sec']}, ids {effs['ids_sec']}, join"
             f" {effs['join_sec']}, total {effs['total_sec']}\n"
+            f"- pure string-sort/hash kernel (the ids sub-step's dominant"
+            f" work, no Spark, pinned): 2→8 procs efficiency"
+            f" **{sp['sort_hash_eff_2to8']}**\n"
             f"- measured fixed cost per action: lo"
             f" {pairs[0][0]['fixed_per_action_sec']}s / hi"
             f" {pairs[0][1]['fixed_per_action_sec']}s; sub-step timings lo"
