@@ -48,6 +48,8 @@ def _cast_shuffle_dtype(df: DataFrame, emb_col: str,
     if shuffle_dtype is None:
         return df
     spark_t = "float" if shuffle_dtype == "float32" else shuffle_dtype
+    if dict(df.dtypes).get(emb_col) == f"array<{spark_t}>":
+        return df  # already at wire precision — no projection needed
     return df.withColumn(emb_col, F.col(emb_col).cast(f"array<{spark_t}>"))
 
 
