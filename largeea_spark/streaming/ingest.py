@@ -180,3 +180,74 @@ def stream_sessionize_events(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+def stream_running_user_stats(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str,
+) -> int:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.11 "custom stateful operators"): per-user running
+    (event count, value sum, DISTINCT event-type set) maintained in an
+    explicit ``GroupState`` across micro-batches AND across drains
+    (state lives in the checkpoint). The distinct-type tracking plus
+    emit-updated-totals-per-drain semantics are exactly what the
+    built-in ``session_window`` / ``dropDuplicates`` state machines
+    cannot express — this is the escape hatch the engine uses when a
+    stateful operator has no declarative form.
+
+    Scale shape: state is one tiny row per user key, partitioned by the
+    groupBy hash — no global state, no driver involvement; Arrow moves
+    each key's batch slice in and out of the Python function.
+
+    Each drain appends one row per user ACTIVE in that drain, carrying
+    the cumulative totals so far. Returns total output rows after this
+    drain."""
+    import pandas as pd
+    from typing import Iterator, Tuple
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .format("parquet").load(events_dir)
+    )
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total, types_csv = state.get
+            types = set(types_csv.split("|")) if types_csv else set()
+        else:
+            n, total, types = 0, 0.0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            types |= {t for t in pdf["event_type"].dropna().tolist()}
+        state.update((int(n), float(total), "|".join(sorted(types))))
+        yield pd.DataFrame({
+            "user_id": [int(key[0])], "n_events": [int(n)],
+            "total_value": [float(total)], "n_types": [len(types)],
+        })
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, n_types int"
+        ),
+        stateStructType="n long, total double, types string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
