@@ -77,7 +77,11 @@ def string_similarity(
 
 # brute knn_topk replicates every query ×n_blocks (one block per
 # 100k index rows) — fine below ~this many index rows, quadratic-ish
-# above. 'auto' switches to IVF at the threshold.
+# above. 'auto' switches to IVF at the threshold. Round-4 measurement
+# (SCALE.md "IVF economics"): IVF is already 3.2× brute at 20k and the
+# gap widens with n (4.9× at 500k, recall ≥0.96) — the threshold stays
+# at 100k deliberately so small runs keep EXACT results by default;
+# speed alone would argue for ~0.
 IVF_AUTO_THRESHOLD = 100_000
 
 
