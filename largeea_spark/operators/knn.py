@@ -47,7 +47,12 @@ def _cast_shuffle_dtype(df: DataFrame, emb_col: str,
     pass ``shuffle_dtype=None`` to ship input precision unchanged."""
     if shuffle_dtype is None:
         return df
-    spark_t = "float" if shuffle_dtype == "float32" else shuffle_dtype
+    wire_types = {"float32": "float", "float64": "double"}
+    if shuffle_dtype not in wire_types:
+        raise ValueError(
+            f"shuffle_dtype must be one of {sorted(wire_types)} or None, "
+            f"got {shuffle_dtype!r}")
+    spark_t = wire_types[shuffle_dtype]
     if dict(df.dtypes).get(emb_col) == f"array<{spark_t}>":
         return df  # already at wire precision — no projection needed
     return df.withColumn(emb_col, F.col(emb_col).cast(f"array<{spark_t}>"))
@@ -89,8 +94,14 @@ _GEMM_BUDGET_ELEMS = 50_000_000
 
 def _bounded_chunk(requested: int, n_index_rows: int) -> int:
     """Query-rows-per-GEMM-chunk capped so chunk×cell stays within the
-    transient budget; chunking never changes results (per-row top-k)."""
-    return max(256, min(requested, _GEMM_BUDGET_ELEMS // max(n_index_rows, 1)))
+    transient budget; chunking never changes results (per-row top-k).
+
+    Never raises above the caller's request or the budget — the old
+    max(256, ...) floor could override an explicitly smaller gemm_chunk
+    AND exceed the budget on a >195k-row skewed IVF cell, re-opening the
+    per-task memory blow-up the budget exists to fix."""
+    budget_rows = max(_GEMM_BUDGET_ELEMS // max(n_index_rows, 1), 1)
+    return max(1, min(requested, budget_rows))
 
 
 def _widen_if_narrow(df: DataFrame) -> DataFrame:

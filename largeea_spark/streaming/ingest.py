@@ -184,6 +184,7 @@ def stream_sessionize_events(
 
 def stream_running_user_stats(
     spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
 ) -> int:
     """CUSTOM stateful streaming operator via ``applyInPandasWithState``
     (SURVEY.md §2.11 "custom stateful operators"): per-user running
@@ -201,7 +202,37 @@ def stream_running_user_stats(
 
     Each drain appends one row per user ACTIVE in that drain, carrying
     the cumulative totals so far. Returns total output rows after this
-    drain."""
+    drain.
+
+    ``state_ttl_ms``: when set, per-key state is evicted after the key
+    has been idle that long (``ProcessingTimeTimeout``) — at 100 TB the
+    key space is unbounded and state must not grow forever; an evicted
+    key that reappears starts its running totals fresh. ``None`` keeps
+    state indefinitely (small bounded key spaces).
+
+    Drain termination with a TTL: with ``ProcessingTimeTimeout`` the
+    stateful exec's ``shouldRunAnotherBatch`` is unconditionally true
+    (processing time always advances, so some timer may always expire),
+    so the microbatch loop never latches ``noNewData`` — an
+    ``availableNow`` query never self-terminates AND
+    ``processAllAvailable()`` never returns (both verified hung on
+    Spark 4.1). The TTL path therefore monitors query progress itself:
+    batches run back-to-back, and a COMPLETED batch with
+    ``numInputRows == 0`` proves every available source offset was
+    already consumed by the batches before it — at that point the
+    query is stopped. A timer that has not fired inside the drain
+    window stays in the checkpoint and fires on the NEXT drain, where
+    an expired idle key hits the ``hasTimedOut`` branch and is
+    evicted. Within a batch, a key with new data is served its data
+    (``hasTimedOut=False``) and the update re-arms its timer — but a
+    drain restart first REPLAYS the previous drain's pending
+    zero-input batch from the offset log, whose timeout processing
+    runs before any new data is planned: a key idle past the TTL at
+    that moment is evicted even if the new drain carries data for it
+    (it then starts fresh). TTL should therefore comfortably exceed
+    the expected inter-drain gap."""
+    import json
+
     import pandas as pd
     from typing import Iterator, Tuple
 
@@ -217,16 +248,25 @@ def stream_running_user_stats(
 
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # key idle past TTL: drop its state, emit nothing — the
+            # state store stays bounded by the active-key working set
+            state.remove()
+            return
         if state.exists:
-            n, total, types_csv = state.get
-            types = set(types_csv.split("|")) if types_csv else set()
+            n, total, types_json = state.get
+            # json-encoded set: an event_type containing '|' must not
+            # split into phantom types on the next drain
+            types = set(json.loads(types_json)) if types_json else set()
         else:
             n, total, types = 0, 0.0, set()
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
             types |= {t for t in pdf["event_type"].dropna().tolist()}
-        state.update((int(n), float(total), "|".join(sorted(types))))
+        state.update((int(n), float(total), json.dumps(sorted(types))))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({
             "user_id": [int(key[0])], "n_events": [int(n)],
             "total_value": [float(total)], "n_types": [len(types)],
@@ -239,7 +279,10 @@ def stream_running_user_stats(
         ),
         stateStructType="n long, total double, types string",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     q = (
         out.writeStream.format("parquet")
@@ -249,5 +292,36 @@ def stream_running_user_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if state_ttl_ms is None:
+        q.awaitTermination()
+    else:
+        # processing-time timers keep the microbatch loop alive forever
+        # (see docstring) — self-monitor: a completed zero-input batch
+        # proves all available offsets were consumed; then stop.
+        import time as _time
+
+        # A restart REPLAYS the previous drain's pending batch from the
+        # offset log BEFORE consulting the source, so a single
+        # zero-input batch does not prove the source is caught up — but
+        # at most ONE replayed batch exists per restart, so two
+        # DISTINCT completed zero-input batch ids guarantee at least
+        # one was freshly planned against a caught-up source (and every
+        # batch between two observed progresses has already committed).
+        # (FileStreamSource reports no latestOffset in progress events,
+        # so offset comparison is not available.)
+        zero_ids: set[int] = set()
+        deadline = _time.monotonic() + 300.0
+        while len(zero_ids) < 2:
+            if not q.isActive:
+                break  # surfaced an error — awaitTermination raises it
+            p = q.lastProgress
+            if p is not None and p.get("numInputRows", 0) == 0:
+                zero_ids.add(int(p.get("batchId", -1)))
+            if _time.monotonic() > deadline:
+                q.stop()
+                raise TimeoutError(
+                    "TTL drain: <2 zero-input batches within 300s")
+            _time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
     return spark.read.parquet(out_dir).count()

@@ -205,8 +205,20 @@ def test_align_kg_pair_through_encoder_seam(spark, tmp_path):
         spark, pair, StageStore(spark, str(tmp_path / "hash")), knn_k=10,
         emb_dim=32, k_parts=2,
     )
-    assert res_seam["metrics"]["fused"] == res_hash["metrics"]["fused"]
-    assert res_seam["metrics"]["structure"] == res_hash["metrics"]["structure"]
+    # Hits@k are integer-count ratios (exact across runs); MRR is a
+    # distributed float avg whose partial-aggregation combine order Spark
+    # does not fix, so bitwise equality across two separately scheduled
+    # runs is not a guarantee the engine makes (observed 2-ULP drift,
+    # VERDICT r4 "What's wrong" #1).  approx(rel=1e-9) pins semantics
+    # without asserting an order Spark never promised.
+    for chan in ("fused", "structure"):
+        seam_m, hash_m = res_seam["metrics"][chan], res_hash["metrics"][chan]
+        assert set(seam_m) == set(hash_m)
+        for k, v in seam_m.items():
+            if k.startswith("hits"):
+                assert v == hash_m[k], (chan, k)
+            else:
+                assert v == pytest.approx(hash_m[k], rel=1e-9), (chan, k)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,474 @@
+"""Round-5 tests: the five ADVICE r4 fixes + stateful-op TTL (VERDICT #7).
+
+Each test pins the FIXED behavior, not just absence of the bug, so a
+regression is a red assertion rather than a silent semantic drift.
+"""
+import datetime
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import spark  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 #1 (trainer.py): fun/ifun must include self-loop triples —
+# the reference's func/ifunc (utils.py) run over the FULL KG; only the
+# adjacency accumulation skips (h, r, h) rows.
+# ---------------------------------------------------------------------------
+
+def test_gcn_weights_fun_ifun_include_self_loops():
+    from largeea_spark.operators.trainer import _gcn_weighted_edges
+
+    # relation 0: 3 non-loop triples {(0,0,1), (2,0,1), (5,0,4)} plus
+    # SELF-LOOP (3,0,3).
+    tri = np.array(
+        [[0, 0, 1], [2, 0, 1], [5, 0, 4], [3, 0, 3]], dtype=np.int64)
+    ids = np.array([0, 1, 2, 3, 4, 5], dtype=np.int64)
+
+    # reference semantics: n_tri=4 (loop counted), heads={0,2,5,3}→fun=1.0,
+    # tails={1,4,3}→ifun=3/4; the loop contributes NO edge.
+    edges, weights = _gcn_weighted_edges(tri, ids, 0)
+    # 3 surviving triples × 2 directions
+    assert edges.shape == (6, 2)
+    fwd = weights[:3]      # h→t carries ifun
+    bwd = weights[3:]      # t→h carries fun
+    assert np.allclose(fwd, 0.75), fwd
+    assert np.allclose(bwd, 1.0), bwd
+
+    # counter-case: computed on FILTERED triples ifun would be 2/3 —
+    # assert we are not doing that
+    assert not np.allclose(fwd, 2.0 / 3.0)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 #2 (knn._bounded_chunk): never exceed the budget on skewed
+# cells, never override a smaller explicit request.
+# ---------------------------------------------------------------------------
+
+def test_bounded_chunk_respects_budget_and_request():
+    from largeea_spark.operators.knn import _GEMM_BUDGET_ELEMS, _bounded_chunk
+
+    # normal cell: budget allows more than requested → requested wins
+    assert _bounded_chunk(4096, 10_000) == 4096
+    # huge skewed cell (>195k rows): budget < 256 — the old floor
+    # re-opened the blow-up; now the budget wins
+    big = 400_000
+    got = _bounded_chunk(4096, big)
+    assert got * big <= _GEMM_BUDGET_ELEMS
+    assert got == _GEMM_BUDGET_ELEMS // big
+    # explicit tiny request is honored, not floored up to 256
+    assert _bounded_chunk(8, 10_000) == 8
+    # degenerate: always at least 1 row per chunk
+    assert _bounded_chunk(4096, 10 * _GEMM_BUDGET_ELEMS) == 1
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 #3 (knn._cast_shuffle_dtype): float64 maps to Spark
+# 'double'; unknown dtypes raise ValueError instead of a deferred
+# AnalysisException.
+# ---------------------------------------------------------------------------
+
+def test_cast_shuffle_dtype_validation(spark):  # noqa: F811
+    from largeea_spark.operators.knn import _cast_shuffle_dtype
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "id long, emb array<double>")
+    assert dict(_cast_shuffle_dtype(df, "emb", "float32").dtypes)[
+        "emb"] == "array<float>"
+    assert dict(_cast_shuffle_dtype(df, "emb", "float64").dtypes)[
+        "emb"] == "array<double>"
+    assert dict(_cast_shuffle_dtype(df, "emb", None).dtypes)[
+        "emb"] == "array<double>"
+    with pytest.raises(ValueError, match="shuffle_dtype"):
+        _cast_shuffle_dtype(df, "emb", "float16")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 #4 (streaming state encoding): an event_type containing '|'
+# must stay ONE type across drains (json-encoded state set).
+# ---------------------------------------------------------------------------
+
+def test_stream_state_type_set_delimiter_safe(spark, tmp_path):  # noqa: F811
+    from largeea_spark.streaming.ingest import stream_running_user_stats
+
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    t = datetime.datetime(2026, 1, 1)
+    spark.createDataFrame(
+        [(1, t, 7, "a|b|c", 1.0, None)], schema).write.parquet(src)
+    stream_running_user_stats(spark, src, out, ckpt)
+
+    # drain 2: same composite type again — still exactly 1 distinct type
+    spark.createDataFrame(
+        [(2, t, 7, "a|b|c", 1.0, None)], schema
+    ).write.mode("append").parquet(src)
+    stream_running_user_stats(spark, src, out, ckpt)
+    rows = [r for r in spark.read.parquet(out).collect() if r.n_events == 2]
+    assert len(rows) == 1 and rows[0].n_types == 1, rows
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #7: state TTL — an idle key's state is evicted across
+# drains (ProcessingTimeTimeout); a returning key starts fresh.
+# ---------------------------------------------------------------------------
+
+def test_stream_state_ttl_evicts_idle_key(spark, tmp_path):  # noqa: F811
+    from largeea_spark.streaming.ingest import stream_running_user_stats
+
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    t = datetime.datetime(2026, 1, 1)
+    # TTL must comfortably exceed the inter-drain gap (a drain restart
+    # replays the previous drain's pending zero-input batch, whose
+    # timeout processing evicts any key already idle past the TTL —
+    # see stream_running_user_stats docstring), so only the DELIBERATE
+    # idle gap below crosses it. A 500ms TTL raced drain overhead.
+    ttl = 15000
+    spark.createDataFrame(
+        [(1, t, 7, "click", 1.0, None), (2, t, 9, "view", 2.0, None)],
+        schema).write.parquet(src)
+    stream_running_user_stats(spark, src, out, ckpt, state_ttl_ms=ttl)
+
+    # drain 2 well inside the TTL: user 9 active again — activity wins,
+    # cumulative totals carry (2 events, 5.0)
+    spark.createDataFrame(
+        [(3, t, 9, "view", 3.0, None)], schema
+    ).write.mode("append").parquet(src)
+    stream_running_user_stats(spark, src, out, ckpt, state_ttl_ms=ttl)
+    u9 = sorted((r.n_events, r.total_value)
+                for r in spark.read.parquet(out).collect() if r.user_id == 9)
+    assert u9[-1] == (2, 5.0), u9
+
+    # idle both keys past the TTL, then drain 3 with data only for a
+    # throwaway user: users 7 and 9's expired timers fire and their
+    # state is EVICTED — the state store stays bounded by activity
+    time.sleep((ttl + 2000) / 1000.0)
+    spark.createDataFrame(
+        [(4, t, 99, "ping", 7.0, None)], schema
+    ).write.mode("append").parquet(src)
+    stream_running_user_stats(spark, src, out, ckpt, state_ttl_ms=ttl)
+
+    # drain 4: user 7 returns AFTER eviction — totals start FRESH
+    # (1 event, 10.0); an uninterrupted carry would show (2, 11.0)
+    spark.createDataFrame(
+        [(5, t, 7, "click", 10.0, None)], schema
+    ).write.mode("append").parquet(src)
+    stream_running_user_stats(spark, src, out, ckpt, state_ttl_ms=ttl)
+    u7 = [(r.n_events, r.total_value)
+          for r in spark.read.parquet(out).collect() if r.user_id == 7]
+    assert (1, 10.0) in u7 and (2, 11.0) not in u7, u7
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 #5 (multimodal P6): malformed separator after maxval raises
+# instead of decoding garbage; valid files with comments still decode.
+# ---------------------------------------------------------------------------
+
+def test_p6_maxval_separator_validated():
+    from largeea_spark.operators.multimodal import decode_image
+
+    raster = bytes(range(2 * 2 * 3))
+    ok = b"P6\n2 2\n255\n" + raster
+    img = decode_image(ok)
+    assert img.shape == (2, 2, 3) and img[0, 0, 0] == 0
+
+    # comment in the header (before maxval) is fine
+    commented = b"P6\n# hi\n2 2\n255\n" + raster
+    assert np.array_equal(decode_image(commented), img)
+
+    # truncated right after maxval: separator byte missing → clear error
+    with pytest.raises(NotImplementedError, match="whitespace"):
+        decode_image(b"P6\n2 2\n255")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #4: gradient-TRAINED RREA backbone ('rrea_sgd') — margin
+# ranking loss + Adam with hand-derived backprop through the
+# reflection-attention stack. These tests pin (a) the gradients against
+# central finite differences, (b) determinism under input-order
+# shuffles, (c) that training actually reduces the loss.
+# ---------------------------------------------------------------------------
+
+def _tiny_rrea_graph():
+    rng = np.random.default_rng(0)
+    n, d, R = 7, 5, 3
+    h = rng.standard_normal((n, d))
+    rel = rng.standard_normal((R, d))
+    e_src = np.array([0, 0, 1, 2, 3, 4, 5, 6, 6])
+    e_dst = np.array([1, 2, 3, 4, 5, 6, 0, 1, 2])
+    e_rel = np.array([0, 1, 2, 0, 1, 2, 0, 1, 2])
+    return n, d, R, h, rel, e_src, e_dst, e_rel
+
+
+def test_rrea_sgd_gradients_match_finite_differences():
+    from largeea_spark.operators.trainer import (
+        _norm_rows, _norm_rows_bwd, _rrea_layer_bwd, _rrea_sgd_forward)
+
+    n, d, R, h, rel, e_src, e_dst, e_rel = _tiny_rrea_graph()
+    tau, depth = 0.1, 2
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((n, d))  # arbitrary linear loss: L = Σ W·e
+
+    def loss(h0, rl):
+        e, _ = _rrea_sgd_forward(h0, rl, e_src, e_dst, e_rel, depth, tau)
+        return float((W * e).sum())
+
+    e, (y0, caches) = _rrea_sgd_forward(h, rel, e_src, e_dst, e_rel, depth, tau)
+    gh = W.copy()
+    grel = np.zeros_like(rel)
+    for c in reversed(caches):
+        gh, dr = _rrea_layer_bwd(c, e_src, e_dst, e_rel, R, tau, gh)
+        grel += dr
+    gh0 = _norm_rows_bwd(y0, _norm_rows(y0), gh)
+
+    eps = 1e-6
+    for anal, param, which in ((gh0, h, "h"), (grel, rel, "rel")):
+        num = np.zeros_like(param)
+        for i in range(param.shape[0]):
+            for j in range(param.shape[1]):
+                pp, pm = param.copy(), param.copy()
+                pp[i, j] += eps
+                pm[i, j] -= eps
+                args = (pp, rel) if which == "h" else (h, pp)
+                args_m = (pm, rel) if which == "h" else (h, pm)
+                num[i, j] = (loss(*args) - loss(*args_m)) / (2 * eps)
+        rel_err = np.abs(num - anal).max() / np.abs(num).max()
+        assert rel_err < 1e-6, (which, rel_err)
+
+
+def test_rrea_sgd_trains_and_is_deterministic():
+    from largeea_spark.operators.trainer import train_embeddings_rrea_sgd_np
+
+    rng = np.random.default_rng(7)
+    n = 120
+    ids = np.arange(n, dtype=np.int64)
+    edges = [(v, rng.integers(0, 4), rng.integers(0, v)) for v in range(1, n)]
+    tri = np.array(edges, dtype=np.int64)
+    seeds = np.stack([np.arange(0, n, 4)] * 2, 1)
+    emb1 = rng.standard_normal((n, 8))
+    emb2 = rng.standard_normal((n, 8))
+
+    # training from the reference-faithful random init pulls seed pairs
+    # together in the structure space (anchor init starts them already
+    # tied, so the from-scratch variant is the probe)
+    sw, sd_ = 0.5, 32
+    s = seeds[:, 0]
+    t1, t2 = train_embeddings_rrea_sgd_np(
+        ids, emb1, ids, emb2, tri, tri.copy(), seeds, init="hashed",
+        epochs=30)
+    d_pair = np.linalg.norm(t1[s, :sd_] - t2[s, :sd_], axis=1).mean() / sw
+    u1, u2 = train_embeddings_rrea_sgd_np(
+        ids, emb1, ids, emb2, tri, tri.copy(), seeds, init="hashed",
+        epochs=0)
+    d_init = np.linalg.norm(u1[s, :sd_] - u2[s, :sd_], axis=1).mean() / sw
+    assert d_pair < d_init * 0.8, (d_pair, d_init)
+
+    r1, r2 = train_embeddings_rrea_sgd_np(
+        ids, emb1, ids, emb2, tri, tri.copy(), seeds)
+
+    # determinism: shuffling triple/seed row order changes nothing
+    # (edges are sorted before accumulation; init is value-hashed)
+    p = rng.permutation(len(tri))
+    q = rng.permutation(len(seeds))
+    b1, b2 = train_embeddings_rrea_sgd_np(
+        ids, emb1, ids, emb2, tri[p], tri.copy(), seeds[q])
+    assert np.array_equal(r1, b1) and np.array_equal(r2, b2)
+
+    # hashed init is the reference-faithful variant and stays available
+    h1, h2 = train_embeddings_rrea_sgd_np(
+        ids, emb1, ids, emb2, tri, tri.copy(), seeds, init="hashed",
+        epochs=5)
+    assert h1.shape == (n, 32 + 8) and h2.shape == (n, 32 + 8)
+
+
+def test_rrea_sgd_dispatch_through_train_batches(spark):  # noqa: F811
+    import pandas as pd
+    from largeea_spark.operators.trainer import train_batches
+
+    rows = []
+    for i in range(6):
+        rows.append((0, "e1", i, None, None, [float(i), 1.0]))
+        rows.append((0, "e2", i, None, None, [float(i), -1.0]))
+    rows += [(0, "t1", 0, 0, 1, None), (0, "t2", 0, 0, 1, None),
+             (0, "seed", 0, 0, None, None), (0, "seed", 2, 2, None, None)]
+    payload = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["batch", "kind", "a", "b", "c", "vec"]))
+    out = train_batches(payload, algo="rrea_sgd").collect()
+    assert len(out) == 12
+    assert all(len(r.emb) == 4 for r in out)  # concat(struct d=2, name d=2)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #6: PNG codec via stdlib zlib. Fixtures are hand-crafted
+# with the FORWARD filters applied independently, so the decoder's
+# unfiltering math is cross-checked, not round-tripped against itself.
+# ---------------------------------------------------------------------------
+
+def _png_chunks(ihdr_fields, idat_raw, plte=None):
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def _forward_filter(img, filters):
+    """Apply PNG forward filters (spec §9) row by row; independent
+    implementation of the inverse the decoder performs."""
+    h, w, ch = img.shape
+    px = img.reshape(h, w * ch).astype(np.int64)
+    out = b""
+    for y, f in enumerate(filters):
+        row = px[y]
+        prior = px[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        filt = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            up = prior[x]
+            ul = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                filt[x] = row[x]
+            elif f == 1:
+                filt[x] = row[x] - left
+            elif f == 2:
+                filt[x] = row[x] - up
+            elif f == 3:
+                filt[x] = row[x] - (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                filt[x] = row[x] - pred
+        out += bytes([f]) + bytes((filt % 256).astype(np.uint8).tolist())
+    return out
+
+
+def test_png_decode_all_filters_rgb():
+    from largeea_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 4, 3)).astype(np.uint8)
+    # one row per filter type: None, Sub, Up, Average, Paeth
+    raw = _forward_filter(img, [0, 1, 2, 3, 4])
+    png = _png_chunks((4, 5, 8, 2, 0, 0, 0), raw)
+    assert np.array_equal(decode_image(png), img)
+
+
+def test_png_decode_gray_palette_rgba():
+    from largeea_spark.operators.multimodal import decode_image
+
+    # grayscale (type 0) replicates to RGB
+    g = np.array([[0, 128], [255, 7]], dtype=np.uint8)[:, :, None]
+    png_g = _png_chunks((2, 2, 8, 0, 0, 0, 0), _forward_filter(g, [0, 2]))
+    out = decode_image(png_g)
+    assert out.shape == (2, 2, 3) and np.array_equal(out[:, :, 0], g[:, :, 0])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+    # palette (type 3)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)[:, :, None]
+    png_p = _png_chunks((2, 2, 8, 3, 0, 0, 0), _forward_filter(idx, [0, 0]), plte)
+    out = decode_image(png_p)
+    assert np.array_equal(out[0, 0], [255, 0, 0]) and np.array_equal(out[1, 0], [0, 0, 255])
+
+    # RGBA (type 6): alpha dropped
+    rgba = np.dstack([np.full((2, 2), 9, np.uint8), np.full((2, 2), 8, np.uint8),
+                      np.full((2, 2), 7, np.uint8), np.full((2, 2), 128, np.uint8)])
+    png_a = _png_chunks((2, 2, 8, 6, 0, 0, 0), _forward_filter(rgba, [1, 4]))
+    assert np.array_equal(decode_image(png_a), rgba[:, :, :3])
+
+
+def test_png_decode_full_path_and_seam():
+    from largeea_spark.operators.multimodal import (
+        decode_image, image_features, resize_nn)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 12, 3)).astype(np.uint8)
+    png = _png_chunks((12, 16, 8, 2, 0, 0, 0),
+                      _forward_filter(img, [1, 2, 3, 4] * 4))
+    # decode → resize → features on real PNG bytes, end-to-end
+    dec = decode_image(png)
+    assert np.array_equal(dec, img)
+    small = resize_nn(dec, 4, 4)
+    assert small.shape == (4, 4, 3)
+    feats = image_features(dec)
+    assert np.isfinite(feats).all()
+
+    # 16-bit / interlaced stay behind the documented seam
+    with pytest.raises(NotImplementedError, match="bitdepth"):
+        decode_image(_png_chunks((2, 2, 16, 2, 0, 0, 0), b"\x00" * 26))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #5: pinned-weights mini-transformer through the
+# model_name_encoder seam, vs the closed-form numpy oracle — bitwise.
+# Also pins the reference's mask+max-pool semantics (emb_loader.py
+# minus_mask): the intended -1e30 mask makes padding invisible; the
+# reference's literal 1e-30 constant leaks padding (documented quirk).
+# ---------------------------------------------------------------------------
+
+def test_minibert_seam_matches_numpy_oracle_bitwise(spark):  # noqa: F811
+    from largeea_spark.functions.minibert import (
+        MiniTransformerEncoder, mini_transformer_loader)
+    from largeea_spark.functions.vectors import encode_names
+
+    names = ["Alice_Springs", "Berlin", "", "Łódź_Voivodeship",
+             "a" * 500,  # exercises the 382-byte truncation
+             "Nürnberg", "東京", "x"]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)],
+                               "id long, name string").repartition(3)
+    got = {r.id: np.array(r.emb, dtype=np.float32) for r in
+           encode_names(df, "name",
+                        encoder=mini_transformer_loader()).collect()}
+
+    oracle = MiniTransformerEncoder()
+    want = oracle.encode(names).astype(np.float32)
+    for i in range(len(names)):
+        assert np.array_equal(got[i], want[i]), i  # BITWISE
+
+
+def test_minibert_mask_semantics():
+    from largeea_spark.functions.minibert import MiniTransformerEncoder
+
+    enc = MiniTransformerEncoder()
+    texts = ["short", "a_much_longer_entity_name_for_padding"]
+    unpadded = enc.encode(texts)
+    masked = enc.encode_padded(texts)  # attention mask + -1e30 pool mask
+    # intended mask: padding is invisible → the batch-padded path
+    # agrees with the per-sentence path
+    assert np.allclose(masked, unpadded, atol=1e-9)
+
+    # the reference's LITERAL path (no attention mask inside the
+    # model, 1e-30 pool "mask" that does not mask) — the short
+    # sentence's result changes with batch padding (the quirk we
+    # deviate from, made visible)
+    literal = enc.encode_padded(texts, mask_value=1e-30, attn_mask=False)
+    assert not np.allclose(literal[0], unpadded[0], atol=1e-9)
+    # the longest sentence has no padding: identical under any mask
+    assert np.allclose(literal[1], unpadded[1], atol=1e-9)
+
+
+def test_minibert_tokenizer_contract():
+    from largeea_spark.functions.minibert import (
+        CLS, SEP, MiniTransformerEncoder)
+
+    enc = MiniTransformerEncoder()
+    ids = enc.tokenize("ab")
+    assert ids[0] == CLS and ids[-1] == SEP
+    assert ids[1:-1] == [3 + ord("a"), 3 + ord("b")]
+    # truncation at 382 body bytes, like the reference's [:382]
+    long = enc.tokenize("z" * 1000)
+    assert len(long) == 384 and long[-1] == SEP
