@@ -775,7 +775,9 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
     reflection attention, deterministic stand-in), 'rrea_sgd'
     (gradient-TRAINED RREA: margin ranking loss + Adam, hand-derived
     backprop — the closest torch-free analogue of the reference's
-    trained backbone), or a CALLABLE with the signature
+    trained backbone), 'kge_transe' / 'kge_distmult' / 'kge_rotate'
+    (M7 — numpy-trained KGE decoders + align seed loss,
+    `operators/kge.py`), or a CALLABLE with the signature
     ``(ids1, emb1, ids2, emb2, triples1, triples2, seeds) ->
     (refined1, refined2)`` (numpy arrays, executed executor-side per
     batch) — the pluggable seam for alternate backbones (M5-M7: an
@@ -820,6 +822,13 @@ def train_batches(payload: DataFrame, epochs: int = 15, lam: float = 0.2,
         elif algo == "rrea_sgd":
             r1, r2 = train_embeddings_rrea_sgd_np(
                 ids1, emb1, ids2, emb2, t1, t2, sd,
+            )
+        elif isinstance(algo, str) and algo.startswith("kge_"):
+            from largeea_spark.operators.kge import train_embeddings_kge_np
+
+            r1, r2 = train_embeddings_kge_np(
+                ids1, emb1, ids2, emb2, t1, t2, sd,
+                decoder=algo[len("kge_"):],
             )
         else:
             r1, r2 = train_embeddings_np(

@@ -68,6 +68,11 @@ def main():
         pair, e1, e2, k_parts=4, knn_k=50, algo="rrea_sgd"
     )
     sims["structure rrea-sgd-trained (M2/M5 analogue)"] = stru_sgd.cache()
+    # KGE decoder backbone (M7): TransE triples + align seed loss
+    stru_kge, _ = trained_batched_structure_similarity(
+        pair, e1, e2, k_parts=4, knn_k=50, algo="kge_transe"
+    )
+    sims["structure kge-transe-trained (M7)"] = stru_kge.cache()
 
     name_fused = simops.fuse(
         [sims["embedding (phases 1-2)"], sims["string (phase 3)"],

@@ -472,3 +472,103 @@ def test_minibert_tokenizer_contract():
     # truncation at 382 body bytes, like the reference's [:382]
     long = enc.tokenize("z" * 1000)
     assert len(long) == 384 and long[-1] == SEP
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 M7: KGE decoders (TransE / DistMult / RotatE + align seed
+# loss). Gradient correctness by central finite differences against the
+# closed-form loss; determinism across row order; dispatch contract.
+# ---------------------------------------------------------------------------
+
+def _tiny_kge_setup(decoder_dim=6):
+    rng = np.random.default_rng(11)
+    n_ent, n_rel = 8, 3
+    ent = rng.standard_normal((n_ent, decoder_dim)) * 0.3
+    rel = rng.standard_normal((n_rel, decoder_dim)) * 0.3
+    tri = np.array([[0, 0, 1], [1, 1, 2], [2, 2, 3], [3, 0, 4],
+                    [4, 1, 5], [5, 2, 6], [6, 0, 7]], dtype=np.int64)
+    s1 = np.array([0, 2], dtype=np.int64)
+    s2 = np.array([4, 6], dtype=np.int64)
+    return ent, rel, tri, s1, s2
+
+
+@pytest.mark.parametrize("decoder", ["transe", "distmult", "rotate"])
+def test_kge_gradients_match_finite_differences(decoder):
+    from largeea_spark.operators.kge import kge_grads_np, kge_loss_np
+
+    ent, rel, tri, s1, s2 = _tiny_kge_setup()
+    # margin=5 keeps every hinge strictly active (scores are O(1)), so
+    # the loss is smooth at the evaluation point and FD is valid
+    kw = dict(decoder=decoder, margin=5.0, n_neg=2, align_weight=3.0, ep=1)
+    ge, gr = kge_grads_np(ent, rel, tri, s1, s2, **kw)
+
+    eps = 1e-6
+    for anal, which in ((ge, "ent"), (gr, "rel")):
+        param = ent if which == "ent" else rel
+        num = np.zeros_like(param)
+        for i in range(param.shape[0]):
+            for j in range(param.shape[1]):
+                pp, pm = param.copy(), param.copy()
+                pp[i, j] += eps
+                pm[i, j] -= eps
+                lp = kge_loss_np(pp if which == "ent" else ent,
+                                 pp if which == "rel" else rel,
+                                 tri, s1, s2, **kw)
+                lm = kge_loss_np(pm if which == "ent" else ent,
+                                 pm if which == "rel" else rel,
+                                 tri, s1, s2, **kw)
+                num[i, j] = (lp - lm) / (2 * eps)
+        denom = max(np.abs(num).max(), 1e-12)
+        rel_err = np.abs(num - anal).max() / denom
+        assert rel_err < 1e-5, (decoder, which, rel_err)
+
+
+@pytest.mark.parametrize("decoder", ["transe", "distmult", "rotate"])
+def test_kge_trains_pulls_seeds_and_is_deterministic(decoder):
+    from largeea_spark.operators.kge import train_embeddings_kge_np
+
+    rng = np.random.default_rng(5)
+    n = 60
+    ids = np.arange(n, dtype=np.int64)
+    tri = np.array(
+        [(v, rng.integers(0, 3), rng.integers(0, v)) for v in range(1, n)],
+        dtype=np.int64)
+    seeds = np.stack([np.arange(0, n, 3)] * 2, 1)
+    emb1 = rng.standard_normal((n, 4))
+    emb2 = rng.standard_normal((n, 4))
+    kw = dict(decoder=decoder, dim=16, struct_weight=0.5)
+    s = seeds[:, 0]
+
+    t1, t2 = train_embeddings_kge_np(
+        ids, emb1, ids, emb2, tri, tri.copy(), seeds, epochs=40, **kw)
+    u1, u2 = train_embeddings_kge_np(
+        ids, emb1, ids, emb2, tri, tri.copy(), seeds, epochs=0, **kw)
+    # the align pull moves seed pairs together in the KGE block
+    d_tr = np.linalg.norm(t1[s, :16] - t2[s, :16], axis=1).mean()
+    d_in = np.linalg.norm(u1[s, :16] - u2[s, :16], axis=1).mean()
+    assert d_tr < d_in * 0.8, (decoder, d_tr, d_in)
+
+    # deterministic under triple/seed row-order shuffles (sorted
+    # assembly + value-hashed init)
+    p = rng.permutation(len(tri))
+    q = rng.permutation(len(seeds))
+    b1, b2 = train_embeddings_kge_np(
+        ids, emb1, ids, emb2, tri[p], tri.copy(), seeds[q], epochs=40, **kw)
+    assert np.array_equal(t1, b1) and np.array_equal(t2, b2)
+
+
+def test_kge_dispatch_through_train_batches(spark):  # noqa: F811
+    import pandas as pd
+    from largeea_spark.operators.trainer import train_batches
+
+    rows = []
+    for i in range(6):
+        rows.append((0, "e1", i, None, None, [float(i), 1.0]))
+        rows.append((0, "e2", i, None, None, [float(i), -1.0]))
+    rows += [(0, "t1", 0, 0, 1, None), (0, "t2", 0, 0, 1, None),
+             (0, "seed", 0, 0, None, None), (0, "seed", 2, 2, None, None)]
+    payload = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["batch", "kind", "a", "b", "c", "vec"]))
+    out = train_batches(payload, algo="kge_transe").collect()
+    assert len(out) == 12
+    assert all(len(r.emb) == 66 for r in out)  # concat(kge d=64, name d=2)
