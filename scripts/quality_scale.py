@@ -63,7 +63,13 @@ def main():
     semi_margin = float(sys.argv[5]) if len(sys.argv) > 5 else 0.05
     top_k_corr = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     name_dim = int(sys.argv[7]) if len(sys.argv) > 7 else 64
-    spark = get_spark("qscale", master="local[32]", shuffle_partitions=32)
+    # partition count scales with the fixture so per-task state stays
+    # inside the executor-memory contract (at 200k ents, 32 partitions
+    # put ~800 MiB deserialized rows in a single task and OOM'd a 48g
+    # one-JVM heap; 128 partitions keep tasks ~200 MiB — the same
+    # sizing rule a real cluster applies via maxPartitionBytes)
+    sp = max(32, n_ents // 1600)
+    spark = get_spark("qscale", master="local[32]", shuffle_partitions=sp)
 
     t1, t2, links, _ = fixtures.two_kg_fixture(
         spark, n_ents=n_ents, n_triples=3 * n_ents, n_links=n_links
@@ -77,9 +83,12 @@ def main():
     n_src = (kg1.ent.agg(F.max("id")).first()[0] or 0) + 1
 
     s_string = name_channel.string_similarity(pair).localCheckpoint(eager=True)
+    knn_stats: dict = {}
     s_embed = name_channel.name_embedding_similarity(
-        pair, k=50, dim=name_dim
+        pair, k=50, dim=name_dim, stats=knn_stats
     ).localCheckpoint(eager=True)
+    # which kNN path auto picked (IVF engages above its 100k trigger)
+    print("name-channel knn:", knn_stats, flush=True)
     name_sim = simops.fuse([s_embed, s_string], [1.0, 0.05]).localCheckpoint(eager=True)
 
     e1 = encode_names(name_channel.entity_names(kg1.ent, False), "name", dim=64).select("id", "emb")
