@@ -46,25 +46,51 @@ def read_triples_tsv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, sep="\t", schema=TRIPLE_SCHEMA, quote="")
 
 
-def encode_graph(raw: DataFrame) -> KG:
+def encode_graph(raw: DataFrame, _hash_fn=None) -> KG:
     """S1 encode half (`process_one_graph`, `dataset.py:91-100`): build
     ent/rel dims with deterministic dense ids (A1) and int-encode the
-    triples via three joins (rel dim broadcast — vocabularies are small;
-    entity joins sort-merge, AQE-skew-safe)."""
+    triples. Rel dim is broadcast (vocabularies are small). Entity
+    joins are HASH-KEYED sort-merge: both URI columns are collapsed to
+    ``xxhash64`` longs map-side, so the triple table shuffles 16 bytes
+    per row where a string-keyed SMJ would shuffle-and-sort two 40-80
+    byte URIs — at 1e9 triples the dominant exchange of the construct
+    phase. Safe because every s/o URI is in the ent dim by construction
+    (the dim is built from these very triples); if the ent dim has any
+    xxhash64 collision among its keys (one tiny agg to check; expected
+    ~n²/2⁶⁵, i.e. none below ~1e9 keys) we fall back to the exact
+    string-keyed joins for the whole table — correctness never rides on
+    hash uniqueness."""
+    raw = raw.where(F.col("s").isNotNull() & F.col("o").isNotNull())
     ent = assign_dense_ids(
         raw.select(F.col("s").alias("uri"))
         .unionByName(raw.select(F.col("o").alias("uri")))
-        .where(F.col("uri").isNotNull())
         .distinct(),
         "uri",
     )
     rel = dict_encode(raw.select(F.col("p").alias("uri")), "uri")
-    es = ent.select(F.col("uri").alias("s"), F.col("id").alias("src"))
-    eo = ent.select(F.col("uri").alias("o"), F.col("id").alias("dst"))
     er = F.broadcast(rel.select(F.col("uri").alias("p"), F.col("id").alias("rel")))
-    triples = (
-        raw.join(es, "s").join(eo, "o").join(er, "p").select("src", "rel", "dst")
-    )
+    hash_fn = _hash_fn or F.xxhash64
+    ent_h = ent.select(hash_fn("uri").alias("__h"), "id")
+    has_collision = not ent_h.groupBy("__h").agg(
+        F.count("*").alias("c")
+    ).where(F.col("c") > 1).isEmpty()
+    if has_collision:
+        es = ent.select(F.col("uri").alias("s"), F.col("id").alias("src"))
+        eo = ent.select(F.col("uri").alias("o"), F.col("id").alias("dst"))
+        triples = (
+            raw.join(es, "s").join(eo, "o").join(er, "p").select("src", "rel", "dst")
+        )
+    else:
+        fact = raw.join(er, "p").select(
+            hash_fn("s").alias("__hs"), hash_fn("o").alias("__ho"), "rel"
+        )
+        triples = (
+            fact.join(ent_h.select(F.col("__h").alias("__hs"),
+                                   F.col("id").alias("src")), "__hs")
+            .join(ent_h.select(F.col("__h").alias("__ho"),
+                               F.col("id").alias("dst")), "__ho")
+            .select("src", "rel", "dst")
+        )
     return KG(ent=ent, rel=rel, triples=triples)
 
 

@@ -572,3 +572,114 @@ def test_kge_dispatch_through_train_batches(spark):  # noqa: F811
     out = train_batches(payload, algo="kge_transe").collect()
     assert len(out) == 12
     assert all(len(r.emb) == 66 for r in out)  # concat(kge d=64, name d=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 construct-path optimizations: window-free dense ids and
+# hash-keyed triple encoding (fact side shuffles 8-byte longs, not URIs).
+# ---------------------------------------------------------------------------
+
+def test_assign_dense_ids_window_free_is_dense_and_stable(spark):  # noqa: F811
+    """Ids must equal the lexicographic rank at ANY shuffle-partition
+    count (the local[8]-vs-local[32] stability requirement) after the
+    window-exchange removal."""
+    from pyspark.sql import functions as F
+
+    from largeea_spark.operators.ids import assign_dense_ids
+
+    keys = sorted({f"k{(i * 2654435761) % 100000:06d}" for i in range(4000)})
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    want = [(k, i) for i, k in enumerate(keys)]
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            got = sorted(
+                (r["key"], r["id"])
+                for r in assign_dense_ids(df, "key").collect()
+            )
+            assert got == want, f"dense ids wrong at {n_part} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # plan must NOT contain a window (the removed third exchange)
+    plan = assign_dense_ids(df, "key")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_encode_column_via_hash_matches_string_join(spark):  # noqa: F811
+    from largeea_spark.operators.ids import dict_encode, encode_column
+
+    df = spark.createDataFrame(
+        [(f"uri/{i % 37}", i) for i in range(500)], "k string, v int"
+    )
+    dim = dict_encode(df.select("k"), "k")
+    want = sorted(
+        (r["v"], r["kid"])
+        for r in encode_column(df, dim, "k", "kid").collect()
+    )
+    got = sorted(
+        (r["v"], r["kid"])
+        for r in encode_column(df, dim, "k", "kid", via_hash=True).collect()
+    )
+    assert got == want and len(got) == 500
+
+
+def test_encode_column_hash_collision_falls_back_to_exact(spark):  # noqa: F811
+    """Force EVERY key onto one hash value: the result must still be the
+    exact string-join answer (the dirty branch carries correctness)."""
+    from pyspark.sql import functions as F
+
+    from largeea_spark.operators.ids import dict_encode, encode_column
+
+    df = spark.createDataFrame(
+        [(f"uri/{i % 11}", i) for i in range(200)], "k string, v int"
+    )
+    dim = dict_encode(df.select("k"), "k")
+    want = sorted(
+        (r["v"], r["kid"])
+        for r in encode_column(df, dim, "k", "kid").collect()
+    )
+    got = sorted(
+        (r["v"], r["kid"])
+        for r in encode_column(
+            df, dim, "k", "kid", via_hash=True,
+            _hash_fn=lambda c: F.lit(7).cast("long"),
+        ).collect()
+    )
+    assert got == want and len(got) == 200
+
+
+def test_encode_graph_hash_keyed_matches_string_path(spark):  # noqa: F811
+    """Hash-keyed triple encoding ≡ string-keyed encoding, decoded back
+    to URI space; and the forced-collision fallback gives the same."""
+    from pyspark.sql import functions as F
+
+    from largeea_spark.sources.kg import encode_graph
+
+    rows = [
+        (f"ent/{(i * 7) % 50}", f"rel/{i % 5}", f"ent/{(i * 13 + 1) % 50}")
+        for i in range(400)
+    ] + [(None, "rel/0", "ent/1"), ("ent/2", "rel/1", None)]
+    raw = spark.createDataFrame(rows, "s string, p string, o string")
+
+    def decoded(kg):
+        e = kg.ent
+        r = kg.rel
+        t = (
+            kg.triples
+            .join(e.select(F.col("id").alias("src"), F.col("uri").alias("s")), "src")
+            .join(e.select(F.col("id").alias("dst"), F.col("uri").alias("o")), "dst")
+            .join(r.select(F.col("id").alias("rel"), F.col("uri").alias("p")), "rel")
+        )
+        return sorted((x["s"], x["p"], x["o"]) for x in t.collect())
+
+    want = sorted((s, p, o) for s, p, o in rows if s is not None and o is not None)
+    kg_hash = encode_graph(raw)
+    assert decoded(kg_hash) == want
+    kg_coll = encode_graph(raw, _hash_fn=lambda c: F.lit(3).cast("long"))
+    assert decoded(kg_coll) == want
+    # dims themselves identical either way
+    assert sorted(map(tuple, kg_hash.ent.collect())) == sorted(
+        map(tuple, kg_coll.ent.collect())
+    )
