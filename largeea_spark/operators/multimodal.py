@@ -47,9 +47,10 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def synth_image_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Fixture of REAL decodable images (alternating PPM P6 / 24-bit
-    BMP, deterministic gradient+noise pixels) in the MEDIA_SCHEMA shape
-    — drives the actual decode → resize → features path in-sandbox."""
+    """Fixture of REAL decodable images (cycling PPM P6 / 24-bit BMP /
+    baseline JPEG 4:2:0, deterministic gradient+noise pixels) in the
+    MEDIA_SCHEMA shape — drives the actual decode → resize → features
+    path in-sandbox."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -60,12 +61,17 @@ def synth_image_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
             (yy * 255 // max(h - 1, 1)),
             rng.integers(0, 256, (h, w)),
         ], axis=2).astype(np.uint8)
-        if i % 2 == 0:
+        if i % 3 == 0:
             payload = encode_ppm(img)
             mime = "image/x-portable-pixmap"
-        else:
+        elif i % 3 == 1:
             payload = _encode_bmp24(img)
             mime = "image/bmp"
+        else:
+            from .jpeg import encode_jpeg_baseline
+
+            payload = encode_jpeg_baseline(img, 90, subsample="420")
+            mime = "image/jpeg"
         rows.append((i, "image", bytearray(payload), mime, w, h, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -107,10 +113,11 @@ def real_decode_stub(content: bytes, kind: str):
 
 
 # ---------------------------------------------------------------------------
-# real in-sandbox image codec (stdlib + numpy only): PPM P6/P3 and
-# 24-bit uncompressed BMP — enough to run decode → resize → features
-# end-to-end on real pixel data; other formats keep the documented
-# NotImplementedError seam for PIL on a real cluster
+# real in-sandbox image codec (stdlib + numpy only): PPM P6/P3, 24-bit
+# uncompressed BMP, 8-bit PNG (zlib) and sequential baseline JPEG
+# (jpeg.py) — enough to run decode → resize → features end-to-end on
+# real pixel data; other formats (progressive JPEG, 16-bit PNG, ...)
+# keep the documented NotImplementedError seam for PIL on a real cluster
 # ---------------------------------------------------------------------------
 
 def _ppm_tokens(b: bytes, n: int, start: int) -> tuple[list[int], int]:
@@ -228,10 +235,15 @@ def _decode_png(b: bytes) -> np.ndarray:
 
 def decode_image(content: bytes) -> np.ndarray:
     """bytes → (H, W, 3) uint8 RGB. Supports PPM P6 (binary) / P3
-    (ASCII), uncompressed 24-bit BMP, and 8-bit non-interlaced PNG
-    (stdlib zlib); raises NotImplementedError for other formats (the
-    PIL seam)."""
+    (ASCII), uncompressed 24-bit BMP, 8-bit non-interlaced PNG (stdlib
+    zlib), and sequential baseline JPEG (pure-numpy entropy decode +
+    IDCT, `jpeg.py`); raises NotImplementedError for other formats /
+    progressive JPEG (the PIL seam)."""
     b = bytes(content)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(b)
     if b[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(b)
     if b[:2] in (b"P6", b"P3"):
@@ -272,8 +284,9 @@ def decode_image(content: bytes) -> np.ndarray:
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR → RGB
     raise NotImplementedError(
-        "unsupported image format (PPM P6/P3 and 24-bit BMP decode "
-        "in-sandbox; swap in PIL here on a real cluster)"
+        "unsupported image format (PPM P6/P3, 24-bit BMP, 8-bit PNG and "
+        "baseline JPEG decode in-sandbox; swap in PIL here on a real "
+        "cluster)"
     )
 
 
