@@ -76,6 +76,57 @@ def synth_image_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_audio_media(spark, n: int = 12, seed: int = 42,
+                      sample_rate: int = 8000) -> DataFrame:
+    """Fixture of REAL decodable 16-bit PCM WAVs (seeded sine mixtures
+    + noise, varied durations; every third clip stereo) in the
+    MEDIA_SCHEMA shape — drives the actual decode → spectral-features
+    path in-sandbox."""
+    from .audio import encode_wav
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        dur_s = 0.3 + (i % 5) * 0.2
+        t = np.arange(int(sample_rate * dur_s)) / sample_rate
+        f1, f2 = 200 + (i * 97) % 1800, 150 + (i * 211) % 2500
+        x = (0.5 * np.sin(2 * np.pi * f1 * t)
+             + 0.3 * np.sin(2 * np.pi * f2 * t)
+             + 0.05 * rng.standard_normal(t.size))
+        x = np.clip(x, -1, 1)
+        if i % 3 == 2:
+            x = np.stack([x, np.roll(x, 7)], axis=1)  # stereo downmix path
+        rows.append((i, "audio", bytearray(encode_wav(x, sample_rate)),
+                     "audio/wav", None, None, int(dur_s * 1000)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_video_media(spark, n: int = 6, seed: int = 42,
+                      fps: int = 10) -> DataFrame:
+    """Fixture of REAL decodable MJPEG AVIs (moving-gradient frames,
+    varied frame counts/dims) in the MEDIA_SCHEMA shape — drives the
+    actual container-parse → JPEG-decode → frame-features path."""
+    from .avi import encode_mjpeg_avi
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i * 8) % 24, 16 + (i * 8) % 24
+        n_frames = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for k in range(n_frames):
+            frames.append(np.stack([
+                ((xx * 8 + k * 31) % 256),
+                ((yy * 8 + k * 17) % 256),
+                rng.integers(0, 256, (h, w)),
+            ], axis=2).astype(np.uint8))
+        payload = encode_mjpeg_avi(frames, fps=fps)
+        rows.append((i, "video", bytearray(payload), "video/x-msvideo",
+                     w, h, int(n_frames * 1000 / fps)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _encode_bmp24(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP (bottom-up,
     row-padded) — the fixture-side counterpart of ``decode_image``."""
@@ -100,16 +151,25 @@ def _encode_bmp24(img: np.ndarray) -> bytes:
 
 
 def real_decode_stub(content: bytes, kind: str):
-    """Where a full codec stack plugs in (PIL/librosa/ffmpeg). Images in
-    PPM/BMP are decoded for real by ``decode_image`` (stdlib-only, no
-    external codec needed); everything else raises — see ``fake_decode``
-    for the deterministic stand-in used by plumbing tests."""
+    """Where a full codec stack plugs in (PIL/librosa/ffmpeg). All three
+    modalities decode for real in-sandbox on their stdlib-codable
+    formats — images via ``decode_image`` (PPM/BMP/PNG/baseline JPEG),
+    audio via ``audio.decode_wav`` (integer-PCM WAV → (samples, rate)),
+    video via ``avi.decode_avi_frames`` (MJPEG AVI → (jpeg frames,
+    fps)). Formats beyond those raise NotImplementedError — the
+    PIL/librosa/PyAV seam for a real cluster; see ``fake_decode`` for
+    the deterministic stand-in used by plumbing tests."""
     if kind == "image":
         return decode_image(content)
-    raise NotImplementedError(
-        "audio/video codecs are not installed in this environment; "
-        "swap in librosa/pyav here on a real cluster"
-    )
+    if kind == "audio":
+        from .audio import decode_wav
+
+        return decode_wav(content)
+    if kind == "video":
+        from .avi import decode_avi_frames
+
+        return decode_avi_frames(content)
+    raise NotImplementedError(f"unknown media kind {kind!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +379,30 @@ def image_features(img: np.ndarray, dim: int = 32) -> np.ndarray:
     return (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32)
 
 
+def media_features(content: bytes, kind: str, dim: int = 32) -> np.ndarray:
+    """Real per-row feature kernel for any modality: image → pixel
+    features, audio → spectral features, video → mean of pixel features
+    over up to 4 evenly-spaced REAL decoded frames. Deterministic;
+    unsupported formats raise through the codec seams."""
+    if kind == "image":
+        return image_features(decode_image(content), dim)
+    if kind == "audio":
+        from .audio import audio_features, decode_wav
+
+        samples, rate = decode_wav(content)
+        return audio_features(samples, rate, dim)
+    if kind == "video":
+        from .avi import decode_avi_frames
+        from .jpeg import decode_jpeg_baseline
+
+        frames, _ = decode_avi_frames(content)
+        picks = frames[:: max(len(frames) // 4, 1)][:4]
+        fs = [image_features(decode_jpeg_baseline(j), dim) for j in picks]
+        v = np.mean(fs, axis=0)
+        return (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32)
+    raise NotImplementedError(f"unknown media kind {kind!r}")
+
+
 def fake_decode(content: bytes, dim: int = 32) -> np.ndarray:
     """Deterministic stand-in 'decoder': bytes → pseudo feature vector
     (crc-seeded). Same shape/dtype contract as a real embedding model."""
@@ -338,10 +422,12 @@ def extract_features(media: DataFrame, dim: int = 32,
             feats = []
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 if use_real_codec:
-                    # PPM/BMP images decode for real (pixel features);
-                    # audio/video raise here — the librosa/pyav seam
-                    img = real_decode_stub(bytes(content), kind)
-                    feats.append(image_features(img, dim).tolist())
+                    # every modality decodes for real on its stdlib
+                    # formats (formats beyond them raise — the
+                    # PIL/librosa/PyAV seam)
+                    feats.append(
+                        media_features(bytes(content), kind, dim).tolist()
+                    )
                     continue
                 feats.append(fake_decode(bytes(content), dim).tolist())
             yield pd.DataFrame({
@@ -387,10 +473,14 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling plumbing: JVM-side frame-timestamp planning
-    (sequence over duration — no UDF), stubbed per-frame decode. Output:
-    one row per sampled frame with typed metadata."""
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+                  use_real_codec: bool = False) -> DataFrame:
+    """Video frame sampling: JVM-side frame-timestamp planning (sequence
+    over duration — no UDF). With ``use_real_codec`` each sampled
+    timestamp is resolved to the nearest REAL frame (MJPEG AVI container
+    parse → baseline JPEG decode → pixel features); the default keeps
+    the hash stand-in for opaque codecs. Output: one row per sampled
+    frame with typed metadata."""
     vids = media.where(F.col("kind") == "video").withColumn(
         "frame_ts",
         F.explode(
@@ -402,8 +492,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
     )
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import decode_frame_at
+
         for pdf in it:
             feats = [
+                image_features(decode_frame_at(bytes(c), int(t))).tolist()
+                if use_real_codec else
                 fake_decode(bytes(c) + int(t).to_bytes(8, "little")).tolist()
                 for c, t in zip(pdf["content"], pdf["frame_ts"])
             ]

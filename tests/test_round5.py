@@ -768,3 +768,134 @@ def test_jpeg_through_decode_image_and_media_pipeline(spark):  # noqa: F811
     assert len(feats) == 9 and all(len(r["feature"]) == 16 for r in feats)
     small = resize_images(media, 8, 8, use_real_codec=True).collect()
     assert len(small) == 9
+
+
+# ---------------------------------------------------------------------------
+# Round-5 real audio (WAV PCM, audio.py) and video (MJPEG AVI, avi.py):
+# all three modalities now decode for real in-sandbox.
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_centroid():
+    from largeea_spark.operators.audio import (
+        audio_features, decode_wav, encode_wav, spectral_centroid_hz,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 s
+    for f in (440.0, 1200.0):
+        x = 0.8 * np.sin(2 * np.pi * f * t)
+        samples, rate = decode_wav(encode_wav(x, sr))
+        assert rate == sr and len(samples) == len(x)
+        assert np.max(np.abs(samples - x)) < 2 / 32768  # 16-bit quantization
+        c = spectral_centroid_hz(samples, rate)
+        assert abs(c - f) < 60, f"centroid {c} for pure tone {f}"
+    v = audio_features(samples, sr, dim=24)
+    assert v.shape == (24,) and v.dtype == np.float32
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # determinism + tone discrimination
+    x2 = 0.8 * np.sin(2 * np.pi * 440.0 * t)
+    a = audio_features(x2, sr, dim=24)
+    assert np.array_equal(a, audio_features(x2.copy(), sr, dim=24))
+    assert not np.array_equal(a, v)
+
+
+def test_wav_stereo_downmix_and_8bit_and_seams():
+    from largeea_spark.operators.audio import decode_wav, encode_wav
+
+    sr = 4000
+    t = np.arange(sr // 2) / sr
+    left = np.sin(2 * np.pi * 300 * t)
+    stereo = np.stack([left, -left], axis=1)       # downmix → silence
+    samples, _ = decode_wav(encode_wav(stereo, sr))
+    assert np.max(np.abs(samples)) < 2 / 32768
+
+    # 8-bit unsigned PCM path (hand-built container)
+    pcm8 = (np.clip(left, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + sr.to_bytes(4, "little") + sr.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(pcm8).to_bytes(4, "little") + pcm8)
+    wav8 = b"RIFF" + len(body).to_bytes(4, "little") + body
+    s8, r8 = decode_wav(wav8)
+    assert r8 == sr and np.max(np.abs(s8 - left)) < 2 / 128
+
+    with pytest.raises(NotImplementedError, match="WAV"):
+        decode_wav(b"OggS" + b"\0" * 40)
+    # float32 WAV (format 3) hits the librosa seam, not a wrong decode
+    bad = bytearray(wav8)
+    fmt_off = wav8.find(b"fmt ") + 8
+    bad[fmt_off:fmt_off + 2] = (3).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="format=3"):
+        decode_wav(bytes(bad))
+
+
+def test_mjpeg_avi_roundtrip_and_seams():
+    from largeea_spark.operators.avi import (
+        decode_avi_frames, decode_frame_at, encode_mjpeg_avi,
+    )
+
+    frames = [_smooth_img(24, 32) for _ in range(5)]
+    for k, f in enumerate(frames):
+        frames[k] = np.roll(f, k * 5, axis=1)      # distinguishable frames
+    b = encode_mjpeg_avi(frames, fps=10, quality=92)
+    jpegs, fps = decode_avi_frames(b)
+    assert len(jpegs) == 5 and fps == 10.0
+    assert all(j[:2] == b"\xff\xd8" for j in jpegs)
+    # frame addressed by timestamp decodes to the RIGHT frame's pixels
+    for ts, k in ((0, 0), (200, 2), (400, 4), (9999, 4)):
+        img = decode_frame_at(b, ts)
+        assert img.shape == frames[k].shape
+        assert _psnr(frames[k], img) > 28
+        if k != 2:
+            assert _psnr(frames[2], img) < 25 or k == 2
+
+    with pytest.raises(NotImplementedError, match="AVI"):
+        decode_avi_frames(b"\x00" * 16)
+    hacked = bytearray(b)
+    i = hacked.find(b"vids") + 4
+    hacked[i:i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_avi_frames(bytes(hacked))
+
+
+def test_all_three_modalities_real_through_spark(spark):  # noqa: F811
+    """extract_features(use_real_codec=True) runs REAL decode kernels
+    for image, audio and video rows in one DataFrame, and
+    sample_frames(use_real_codec=True) decodes actual AVI frames."""
+    from pyspark.sql import functions as F
+
+    from largeea_spark.operators.multimodal import (
+        extract_features, sample_frames, synth_audio_media,
+        synth_image_media, synth_video_media,
+    )
+
+    media = (
+        synth_image_media(spark, n=3)
+        .unionByName(synth_audio_media(spark, n=3)
+                     .withColumn("media_id", F.col("media_id") + 100))
+        .unionByName(synth_video_media(spark, n=3)
+                     .withColumn("media_id", F.col("media_id") + 200))
+    )
+    feats = extract_features(media, dim=16, use_real_codec=True).collect()
+    assert len(feats) == 9
+    by_kind = {}
+    for r in feats:
+        v = np.array(r["feature"], dtype=np.float32)
+        assert v.shape == (16,) and abs(np.linalg.norm(v) - 1) < 1e-4
+        by_kind.setdefault(r["kind"], []).append(v)
+    assert set(by_kind) == {"image", "audio", "video"}
+
+    sampled = sample_frames(
+        media, every_ms=150, max_frames=4, use_real_codec=True
+    ).collect()
+    assert len(sampled) > 0
+    vids = media.where("kind = 'video'").count()
+    assert len(sampled) <= vids * 4
+    for r in sampled:
+        assert len(r["frame_feature"]) == 32
+
+    # cross-run determinism of the full real-codec feature path
+    feats2 = extract_features(media, dim=16, use_real_codec=True).collect()
+    assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == \
+        sorted((r["media_id"], tuple(r["feature"])) for r in feats2)
