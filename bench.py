@@ -392,7 +392,13 @@ def _write_bench_md(results, lo, hi, eff, eff_pipeline=None, eff_score=None,
         "in this same session): a round-over-round warm delta inside",
         "the band is shared-host noise, outside it a real change —",
         "the round-4 drifts (doc_tfidf +30%, cc_dedup +15%) were",
-        "unjudgeable without this.",
+        "unjudgeable without this. Cross-SESSION context (measured by",
+        "running this whole suite three times in one round-5 evening):",
+        "warm totals ranged 15.2-30.5 s and best-of-4 tpch_q1 ranged",
+        "0.89-2.58 s across sessions with an identical binary — tenant",
+        "contention on this shared host swings whole sessions, so",
+        "round-over-round comparisons need the band AND should prefer",
+        "the lowest-total session when several are available.",
         "",
         "| query | cold first-run sec | best warm sec | warm band ± |",
         "|---|---|---|---|",
