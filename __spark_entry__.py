@@ -149,6 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def topk_parts_per_supplier(spark, sf):  # W1 window top-k
         li = _t(spark, sf, "lineitem")
+        # one exchange for both keyed operators (guide §2.4): hash-
+        # partitioning on l_suppkey satisfies the groupBy's (suppkey,
+        # partkey) clustering AND the window's partitionBy, so the agg
+        # and the window share this single shuffle (before: two).
+        li = li.select(
+            "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+        ).repartition(F.col("l_suppkey"))
         rev = li.groupBy("l_suppkey", "l_partkey").agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
         )

@@ -149,6 +149,191 @@ def jaccard_selfjoin_prefix(
     )
 
 
+def jaccard_selfjoin_blocked(
+    df: DataFrame, id_col: str, token_col: str, threshold: float,
+    pair_budget: int = 8_000_000,
+) -> DataFrame:
+    """EXACT self-join Jaccard ≥ threshold via a blocked numpy kernel —
+    identical result set to the posting join (`exact_jaccard_pairs` on
+    itself + ``src < dst``), at a fraction of the shuffle volume.
+
+    Why (round-6 measurement, guide §8): the posting self-join on the
+    sf1.0 documents corpus generates Σ_token df² ≈ 257M join rows that
+    are then hash-aggregated into (src, dst) intersection counts — a
+    multi-GB shuffle for a ~2.5k-pair result. But each record's token
+    set is tiny (~52 shingles ≈ 420 B hashed), so the whole decision
+    fits the knn_topk grid shape: hash records into B blocks, ship each
+    block's hashed-token arrays to the B(B+1)/2 upper-triangle block
+    pairs, and count intersections per cell with vectorized numpy
+    run-length expansion. The only shuffle is the block replication —
+    n_rows × ~0.5 KB × (B+1)/2 bytes — instead of the posting join's
+    Σ df² rows; the quadratic candidate work still happens, but at
+    numpy speed inside the cell with zero shuffle bytes.
+
+    Exactness: intersection counts are exact integers (tokens compared
+    by xxhash64 — the same 2⁻⁶⁴ collision odds every hash-keyed join in
+    the engine accepts); jaccard = n_int/(na+nb−n_int) is the same
+    float64 division of exactly-representable integers the posting path
+    computes, so outputs are bitwise identical (equivalence-tested in
+    test_round6 and against the DuckDB oracle). Results are partition-
+    independent (exact counts, no per-partition state).
+
+    Memory: per-cell expansion is chunked so at most ``pair_budget``
+    candidate pairs are materialized at once (~6 int64 arrays ≈ 1 GB at
+    the default) — bounded at any corpus size. B grows with the session
+    shuffle width (≥ width cells) so the stage fans out on any cluster.
+    """
+    width = session_shuffle_width(df.sparkSession)
+    import math
+
+    # size the upper-triangle grid to ~2× the session width so the
+    # (ci,cj)→partition assignment stays balanced (at exactly `width`
+    # cells, hash collisions leave ~1/3 of partitions empty and give
+    # others 2-3 cells — a built-in straggler; guide §2.5 "synthetic
+    # partitioning keys with too few distinct values")
+    n_blocks = max(2, math.ceil((math.sqrt(16 * width + 1) - 1) / 2))
+    n_cells = n_blocks * (n_blocks + 1) // 2
+
+    toks = F.array_distinct(F.col(token_col))
+    th = df.select(
+        F.col(id_col).alias("rid"),
+        F.size(toks).alias("n"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("hg"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    ).where(F.col("n").isNotNull())
+    # one tokenize+hash pass feeds both cogroup sides (lazy checkpoint —
+    # materialized by the cogroup's own action, ~0.5 KB/row cached)
+    th = th.localCheckpoint(eager=False)
+    # upper-triangle replication: block b serves as the LEFT side of
+    # cells (b, j≥b) and the RIGHT side of cells (i≤b, b)
+    left = th.withColumn(
+        "cj", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    ).select(F.col("blk").alias("ci"), F.col("cj").cast("int").alias("cj"),
+             "rid", "n", "hg")
+    # fresh aliases on every column: left and right share the checkpointed
+    # plan, and a self-cogroup with identical attribute ids gets its right
+    # side's non-key columns deduplicated away by the analyzer
+    right = th.withColumn(
+        "ci", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select(F.col("ci").cast("int").alias("ci"), F.col("blk").alias("cj"),
+             F.col("rid").alias("rid"), F.col("n").alias("n"),
+             F.col("hg").alias("hg"))
+
+    kernel = _make_jaccard_cell_kernel(float(threshold), int(pair_budget))
+    return (
+        left.repartition(n_cells, F.col("ci"), F.col("cj")).groupBy("ci", "cj")
+        .cogroup(
+            right.repartition(n_cells, F.col("ci"), F.col("cj"))
+            .groupBy("ci", "cj")
+        )
+        .applyInPandas(kernel, schema="src long, dst long, jaccard double")
+    )
+
+
+def _make_jaccard_cell_kernel(threshold: float, pair_budget: int):
+    """Cell kernel factory for jaccard_selfjoin_blocked: exact
+    intersection counting over two blocks of hashed-token arrays."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"src": [], "dst": [], "jaccard": []}).astype(
+        {"src": "int64", "dst": "int64", "jaccard": "float64"}
+    )
+
+    def postings(pdf):
+        lens = np.fromiter((len(a) for a in pdf["hg"]), dtype=np.int64,
+                           count=len(pdf))
+        g = (np.concatenate(list(pdf["hg"])) if lens.sum() else
+             np.array([], dtype=np.int64)).astype(np.int64, copy=False)
+        d = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+        order = np.argsort(g, kind="stable")
+        return g[order], d[order]
+
+    def count_keys(keys):
+        """sorted-run counting: (unique keys, counts). np.sort on int32
+        takes numpy's radix path — 38× faster than int64 np.unique on
+        the measured cells."""
+        sk = np.sort(keys)
+        if len(sk) == 0:
+            return sk, sk.astype(np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1))
+        cnts = np.diff(np.concatenate((starts, [len(sk)])))
+        return sk[starts], cnts
+
+    def kernel(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        gl, dl = postings(left)
+        gr, dr = postings(right)
+        ug_l, st_l, ct_l = np.unique(gl, return_index=True, return_counts=True)
+        ug_r, st_r, ct_r = np.unique(gr, return_index=True, return_counts=True)
+        common, il, ir = np.intersect1d(ug_l, ug_r, assume_unique=True,
+                                        return_indices=True)
+        if len(common) == 0:
+            return empty
+        ci, cj = ct_l[il], ct_r[ir]
+        si, sj = st_l[il], st_r[ir]
+        reps = ci * cj
+        nr = np.int64(len(right))
+        # int32 pair keys when the cell's key space fits (radix sort);
+        # int64 only for >2³¹-cell blocks
+        kdt = np.int32 if len(left) * len(right) < 2**31 else np.int64
+        # chunk the run-length expansion so ≤ pair_budget pairs live at once
+        cum = np.cumsum(reps)
+        bounds = [0]
+        while bounds[-1] < len(reps):
+            base = cum[bounds[-1]] - reps[bounds[-1]]
+            nxt = int(np.searchsorted(cum, base + pair_budget)) + 1
+            bounds.append(min(max(nxt, bounds[-1] + 1), len(reps)))
+        keys_parts, cnts_parts = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            rp = reps[lo:hi]
+            tot = int(rp.sum())
+            if tot == 0:
+                continue
+            gidx = np.repeat(np.arange(len(rp), dtype=np.int64), rp)
+            offs = np.cumsum(rp) - rp
+            within = np.arange(tot, dtype=np.int64) - offs[gidx]
+            cjx = cj[lo:hi][gidx]
+            lidx = dl[si[lo:hi][gidx] + within // cjx]
+            ridx = dr[sj[lo:hi][gidx] + within % cjx]
+            k2, c2 = count_keys((lidx * nr + ridx).astype(kdt, copy=False))
+            keys_parts.append(k2)
+            cnts_parts.append(c2.astype(np.int64))
+        if not keys_parts:
+            return empty
+        keys = np.concatenate(keys_parts)
+        cnts = np.concatenate(cnts_parts)
+        if len(keys_parts) > 1:
+            ukeys, inv = np.unique(keys, return_inverse=True)
+            cnts = np.bincount(inv, weights=cnts).astype(np.int64)
+            keys = ukeys
+        keys = keys.astype(np.int64, copy=False)
+        li = keys // nr
+        rj = keys - li * nr
+        src_id = left["rid"].to_numpy()[li]
+        dst_id = right["rid"].to_numpy()[rj]
+        na = left["n"].to_numpy()[li].astype(np.float64)
+        nb = right["n"].to_numpy()[rj].astype(np.float64)
+        n_int = cnts.astype(np.float64)
+        jacc = n_int / (na + nb - n_int)
+        diagonal = int(left["ci"].iloc[0]) == int(left["cj"].iloc[0])
+        if diagonal:
+            # both orientations of each pair are generated — keep one
+            mask = (src_id < dst_id) & (jacc >= threshold)
+            a, b = src_id[mask], dst_id[mask]
+        else:
+            # blocks are disjoint: every pair appears exactly once, in
+            # whichever orientation the cell imposes — canonicalize
+            mask = jacc >= threshold
+            a = np.minimum(src_id[mask], dst_id[mask])
+            b = np.maximum(src_id[mask], dst_id[mask])
+        return pd.DataFrame({"src": a, "dst": b, "jaccard": jacc[mask]})
+
+    return kernel
+
+
 def exact_jaccard_pairs(
     df1: DataFrame, df2: DataFrame, id_col: str, token_col: str,
     threshold: float = 0.5, max_df: int | None = None,

@@ -41,22 +41,34 @@ def _large_star(e: DataFrame) -> DataFrame:
     # neighbors both directions; for each u: m = min(N(u) ∪ {u});
     # emit (v, m) for v in N(u) with v > u. Since m ≤ u < v, the output
     # edge (m, v) is already in canonical a<b order.
+    #
+    # Shuffle shape (round 6, guide §2.4): one repartition on u feeds
+    # BOTH the groupBy and the join (HashPartitioning(u) satisfies
+    # each), so the round pays one exchange here instead of two; the
+    # dedup repartitions on b so the downstream small-star groupBy/join
+    # on u=b reuse that exchange too. Column-only repartition (no pinned
+    # count) so AQE coalesces the tiny late-round stages — CC results
+    # are exact min-ids, independent of partitioning.
     nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    ).repartition(F.col("u"))
     m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
         nbrs.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("m").alias("a"), F.col("v").alias("b"))
         .where(F.col("a") != F.col("b"))
-        .distinct()
+        .repartition(F.col("b"))
+        .dropDuplicates(["a", "b"])
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     # orient edges to point from larger to smaller: (u, v) with v <= u;
     # for each u: m = min neighbors∪{u}; emit (v, m) for all small nbrs + (u, m).
+    # When e arrives hash-partitioned on b (the large-star output), the
+    # groupBy and join below reuse that partitioning — the only new
+    # exchange in this half-round is the final distinct.
     oriented = e.select(F.col("b").alias("u"), F.col("a").alias("v"))  # a<b ⇒ v<u
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))
     pairs = (
@@ -74,12 +86,15 @@ def connected_components(
     edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1,
 ) -> DataFrame:
     """Returns DataFrame(node, component). Deterministic min-id labels."""
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    e = _canonical_edges(edges).localCheckpoint(eager=False)
     prev_sig = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint_every and it % checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+            # lazy checkpoint: the signature action below materializes
+            # it, so each round runs ONE job (the eager form ran a
+            # checkpoint job AND a signature job per round)
+            e = e.localCheckpoint(eager=False)
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),

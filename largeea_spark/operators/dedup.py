@@ -56,24 +56,29 @@ def _doc_tokens(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8, method: str = "posting",
+                        threshold: float = 0.8, method: str = "blocked",
                         ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (a < b).
 
-    ``method='posting'`` (default): full posting self-join — fastest
-    while shingle document-frequencies are modest (no hot shingles in
-    a deduplicated corpus slice). ``method='prefix'``: AllPairs prefix
-    filtering (blocking.jaccard_selfjoin_prefix) — IDENTICAL results
-    (equivalence-tested), candidate volume bounded even under zipfian
-    hot shingles; the switch for web-scale corpora where a shingle's
-    df² join blows up. Measured crossover: at sf0.1 (5k docs, uniform
-    shingles) posting wins 7.9 s vs 20.3 s; the prefix path's win
-    appears when max shingle df approaches √(corpus size)."""
+    ``method='blocked'`` (default since round 6): blocked numpy
+    intersection-count kernel (blocking.jaccard_selfjoin_blocked) —
+    IDENTICAL results to the posting join (equivalence-tested), but the
+    only shuffle is the ~0.5 KB/doc hashed-shingle block replication
+    instead of the posting join's Σ df² rows. Round-6 measurement at
+    sf1.0 (50k docs, Σ df² = 257M): posting 21 s, prefix 113 s,
+    blocked ~3 s. ``method='posting'``: the original posting self-join
+    (oracle-shaped). ``method='prefix'``: AllPairs prefix filtering —
+    candidate volume bounded under zipfian hot shingles, but measured
+    slower at every tested scale on this corpus family."""
     t = _doc_tokens(docs, id_col, text_col, n)
     if method == "prefix":
         from .blocking import jaccard_selfjoin_prefix
 
         pairs = jaccard_selfjoin_prefix(t, id_col, "grams", threshold)
+    elif method == "blocked":
+        from .blocking import jaccard_selfjoin_blocked
+
+        pairs = jaccard_selfjoin_blocked(t, id_col, "grams", threshold)
     else:
         pairs = exact_jaccard_pairs(t, t, id_col, "grams", threshold).where(
             F.col("src") < F.col("dst")
@@ -91,9 +96,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     verification of candidates. (16, 8) bands ⇒ LSH threshold ≈0.71 —
     the scale path for ≥0.8-Jaccard dedup."""
     t = _doc_tokens(docs, id_col, text_col, n)
+    # the token table feeds THREE subtrees (band keys + both verify
+    # sides); without this checkpoint each one re-tokenizes and
+    # re-shingles the whole corpus (guide §5 caching — measured 3×~2 s
+    # at sf1.0). Lazy: materialized by the query's own first action.
+    t = t.localCheckpoint(eager=False)
     bk = explode_band_keys(t, id_col, "grams", num_perm, bands, rows)
     left = bk.select(F.col(id_col).alias("a"), "band", "key")
-    right = bk.select(F.col(id_col).alias("b"), "band", "key")
+    right = bk.select(F.col(id_col).alias("b"), F.col("band").alias("band"),
+                      F.col("key").alias("key"))
     cand = (
         left.join(right, ["band", "key"])
         .where(F.col("a") < F.col("b"))

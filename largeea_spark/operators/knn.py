@@ -172,6 +172,19 @@ def knn_topk(
     if n_query_blocks is None:
         n_q = query.count()
         n_query_blocks = max(1, -(-n_q // query_block_rows))
+        if not auto:
+            # caller pinned n_blocks but left the query grid to us:
+            # widen it toward the session width so the GEMM stage fans
+            # out (an explicit n_blocks=4 at 20k queries otherwise runs
+            # 4 tasks on a 32-core session — round-6 measurement: the
+            # sf1.0 emb_knn GEMM serialized on 4 cores). Query blocking
+            # never changes which index rows a query is scored against,
+            # so results are unchanged; the ≥1024-rows-per-block floor
+            # keeps tiny inputs (every correctness-SF run) on their
+            # original 1-block plan.
+            n_query_blocks = max(n_query_blocks, min(
+                -(-_shuffle_width(query) // n_blocks), max(1, n_q // 1024)
+            ))
     if auto:
         # widen the grid to the session's shuffle width so the GEMM
         # stage fans out even when the memory caps would allow 1×1

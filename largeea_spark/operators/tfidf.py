@@ -30,10 +30,16 @@ def postings(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
 def tf_idf(df: DataFrame, id_col: str, tokens_col: str,
            n_docs: int | None = None) -> DataFrame:
     """sklearn-default TF-IDF with L2 row norm (see module docstring)."""
-    post = postings(df, id_col, tokens_col)
+    # the posting table feeds both the df-count branch and the weighted
+    # join; without the checkpoint each branch re-explodes and re-counts
+    # the corpus (two full scans in the round-6 'before' plan). Lazy —
+    # materialized by the caller's first action.
+    post = postings(df, id_col, tokens_col).localCheckpoint(eager=False)
     if n_docs is None:
         n_docs = df.select(id_col).distinct().count()
-    dfreq = post.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    # post is unique per (id, token) by construction, so count(*) ==
+    # countDistinct(id) — same result without the distinct-agg expand
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
     idf = dfreq.withColumn(
         "idf", F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1.0)) + 1.0
     ).select("token", "idf")
@@ -55,6 +61,7 @@ def stop_tokens(df: DataFrame, id_col: str, tokens_col: str, k: int = 25) -> Dat
     already space-stripped by P2 upstream here). Deterministic tiebreak
     by token."""
     post = postings(df, id_col, tokens_col)
-    dfreq = post.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    # post is unique per (id, token) — count(*) == countDistinct(id)
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
     return dfreq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")
