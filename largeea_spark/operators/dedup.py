@@ -54,22 +54,39 @@ def _doc_tokens(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+#: corpus size above which the blocked kernel's fixed cost (python
+#: workers, block replication, ~0.5 s measured) is beaten by its
+#: shuffle savings; below it the posting join's Σ df² volume is small
+#: enough that the pure-JVM path wins (interleaved A/B, round 6:
+#: 5k docs posting 1.2-1.6 s vs blocked 1.6-2.1 s; 50k docs posting
+#: 21 s vs blocked ~6 s).
+_BLOCKED_MIN_DOCS = 20_000
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8, method: str = "blocked",
+                        threshold: float = 0.8, method: str = "auto",
                         ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (a < b).
 
-    ``method='blocked'`` (default since round 6): blocked numpy
-    intersection-count kernel (blocking.jaccard_selfjoin_blocked) —
-    IDENTICAL results to the posting join (equivalence-tested), but the
-    only shuffle is the ~0.5 KB/doc hashed-shingle block replication
-    instead of the posting join's Σ df² rows. Round-6 measurement at
-    sf1.0 (50k docs, Σ df² = 257M): posting 21 s, prefix 113 s,
-    blocked ~3 s. ``method='posting'``: the original posting self-join
-    (oracle-shaped). ``method='prefix'``: AllPairs prefix filtering —
-    candidate volume bounded under zipfian hot shingles, but measured
-    slower at every tested scale on this corpus family."""
+    ``method='auto'`` (default since round 6) picks by corpus size —
+    every method returns IDENTICAL results (equivalence-tested), so the
+    switch is purely physical:
+
+    - ``'blocked'``: blocked numpy intersection-count kernel
+      (blocking.jaccard_selfjoin_blocked) — the only shuffle is the
+      ~0.5 KB/doc hashed-shingle block replication instead of the
+      posting join's Σ df² rows. Round-6 measurement at sf1.0 (50k
+      docs, Σ df² = 257M): posting 21 s, prefix 113 s, blocked ~6 s.
+    - ``'posting'``: the original pure-JVM posting self-join — wins
+      below ``_BLOCKED_MIN_DOCS`` where the join volume is small and
+      the kernel's fixed cost dominates.
+    - ``'prefix'``: AllPairs prefix filtering — candidate volume
+      bounded under zipfian hot shingles, but measured slower at every
+      tested scale on this corpus family."""
+    if method == "auto":
+        method = ("blocked" if docs.count() >= _BLOCKED_MIN_DOCS
+                  else "posting")
     t = _doc_tokens(docs, id_col, text_col, n)
     if method == "prefix":
         from .blocking import jaccard_selfjoin_prefix
