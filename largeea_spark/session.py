@@ -44,6 +44,21 @@ def get_spark(
     for k, v in _MALLOC_TUNING.items():
         os.environ.setdefault(k, v)
 
+    # Preloading worker daemon (guide §4.5 at the daemon level): python
+    # workers fork from the daemon, and Spark reaps idle workers after a
+    # hardcoded minute — the respawned pool re-imports numpy/pandas per
+    # worker (~14 s cliff on a 32-core session, measured round 6).
+    # largeea_spark.worker_daemon imports them once pre-fork so children
+    # inherit via COW. The repo root must be importable by the daemon
+    # process, so export it on PYTHONPATH (env inherited in local mode;
+    # executorEnv carries both to cluster workers).
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pypath = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + (os.pathsep + _pypath if _pypath else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -66,6 +81,9 @@ def get_spark(
     )
     for k, v in _MALLOC_TUNING.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
+    builder = builder.config(
+        "spark.python.daemon.module", "largeea_spark.worker_daemon"
+    ).config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
