@@ -289,8 +289,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mutual_argmax_acctbal(spark, sf):  # W10 bi-mapping
         from largeea_spark.operators.simops import bi_mapping
 
+        # sim = -abs(...), so an exact-zero sim is IEEE -0.0; DuckDB's
+        # round()::DOUBLE preserves that sign while Spark's round()
+        # normalizes to +0.0 — pass zeros through unrounded so both
+        # engines agree (only fires when acctbals tie, e.g. sf0.1+;
+        # no-op at the SFs where no ties exist)
+        sim = F.when(F.col("sim") == 0, F.col("sim")).otherwise(
+            F.round("sim", 6))
         return bi_mapping(_acctbal_sim(spark, sf)).select(
-            "src", "dst", F.round("sim", 6).alias("sim")
+            "src", "dst", sim.alias("sim")
         )
 
     q["mutual_argmax_acctbal"] = mutual_argmax_acctbal
