@@ -151,7 +151,8 @@ def jaccard_selfjoin_prefix(
 
 def jaccard_selfjoin_blocked(
     df: DataFrame, id_col: str, token_col: str, threshold: float,
-    pair_budget: int = 8_000_000,
+    pair_budget: int = 8_000_000, n_rows: int | None = None,
+    block_rows: int = 30_000,
 ) -> DataFrame:
     """EXACT self-join Jaccard ≥ threshold via a blocked numpy kernel —
     identical result set to the posting join (`exact_jaccard_pairs` on
@@ -192,6 +193,12 @@ def jaccard_selfjoin_blocked(
     # others 2-3 cells — a built-in straggler; guide §2.5 "synthetic
     # partitioning keys with too few distinct values")
     n_blocks = max(2, math.ceil((math.sqrt(16 * width + 1) - 1) / 2))
+    if n_rows is not None:
+        # keep cells ≤ block_rows² so the kernel's pair keys stay in
+        # int32 radix-sort territory and per-task arrays stay bounded
+        # at any corpus size (blocking is purely physical — results
+        # are identical at any B)
+        n_blocks = max(n_blocks, math.ceil(n_rows / block_rows))
     n_cells = n_blocks * (n_blocks + 1) // 2
 
     toks = F.array_distinct(F.col(token_col))

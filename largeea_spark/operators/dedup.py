@@ -84,9 +84,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     - ``'prefix'``: AllPairs prefix filtering — candidate volume
       bounded under zipfian hot shingles, but measured slower at every
       tested scale on this corpus family."""
+    n_docs = None
     if method == "auto":
-        method = ("blocked" if docs.count() >= _BLOCKED_MIN_DOCS
-                  else "posting")
+        n_docs = docs.count()
+        method = "blocked" if n_docs >= _BLOCKED_MIN_DOCS else "posting"
     t = _doc_tokens(docs, id_col, text_col, n)
     if method == "prefix":
         from .blocking import jaccard_selfjoin_prefix
@@ -95,7 +96,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     elif method == "blocked":
         from .blocking import jaccard_selfjoin_blocked
 
-        pairs = jaccard_selfjoin_blocked(t, id_col, "grams", threshold)
+        pairs = jaccard_selfjoin_blocked(t, id_col, "grams", threshold,
+                                         n_rows=n_docs)
     else:
         pairs = exact_jaccard_pairs(t, t, id_col, "grams", threshold).where(
             F.col("src") < F.col("dst")
