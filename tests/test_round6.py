@@ -122,3 +122,52 @@ def test_cc_loop_same_labels_after_shuffle_restructure(spark):
     want |= {(x, 100) for x in [100] + list(range(101, 110))}
     want |= {(200, 200), (201, 200), (300, 300), (301, 300)}
     assert got == want
+
+
+@pytest.mark.parametrize("diagonal", [True, False])
+@pytest.mark.parametrize("budget", [3, 8_000_000])
+def test_cell_kernel_matches_bruteforce(diagonal, budget):
+    # the division-free int32 expansion (round-6 follow-up) must count
+    # intersections exactly — pin the kernel directly against an O(n^2)
+    # set-based reference on an irregular cell, with the tightest
+    # possible pair_budget chunking (3 pairs per chunk)
+    import numpy as np
+    import pandas as pd
+
+    from largeea_spark.operators.blocking import _make_jaccard_cell_kernel
+
+    rng = np.random.default_rng(42)
+    def mk(n_docs, base, blk):
+        rows = [np.unique(rng.integers(-50, 50, size=rng.integers(1, 12))
+                          .astype(np.int64)) for _ in range(n_docs)]
+        return pd.DataFrame({
+            "rid": np.arange(base, base + n_docs, dtype=np.int64),
+            "n": [len(r) for r in rows], "hg": rows,
+            "ci": np.full(n_docs, 0, dtype=np.int32),
+            "cj": np.full(n_docs, blk, dtype=np.int32)})
+
+    left = mk(37, 0, 0 if diagonal else 1)
+    right = left.copy() if diagonal else mk(41, 1000, 1)
+    threshold = 0.25
+    out = _make_jaccard_cell_kernel(threshold, budget)(left, right)
+    got = {(int(r.src), int(r.dst), float(r.jaccard))
+           for r in out.itertuples()}
+
+    want = set()
+    for i in range(len(left)):
+        for j in range(len(right)):
+            a, b = set(left["hg"][i]), set(right["hg"][j])
+            n_int = len(a & b)
+            if n_int == 0:
+                continue
+            jac = float(n_int) / (len(a) + len(b) - n_int)
+            s, d = int(left["rid"][i]), int(right["rid"][j])
+            if diagonal:
+                if not (s < d and jac >= threshold):
+                    continue
+            else:
+                if jac < threshold:
+                    continue
+                s, d = min(s, d), max(s, d)
+            want.add((s, d, jac))
+    assert got == want and len(want) > 0
