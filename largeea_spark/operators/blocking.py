@@ -268,13 +268,25 @@ def _make_jaccard_cell_kernel(threshold: float, pair_budget: int):
         cnts = np.diff(np.concatenate((starts, [len(sk)])))
         return sk[starts], cnts
 
+    def sorted_unique(g):
+        """np.unique(g, return_index+return_counts) for an ALREADY
+        sorted g — two linear passes instead of a second sort (postings
+        sorts g to group the doc lists; re-sorting in np.unique was the
+        second-hottest in-situ pass after the pair expansion)."""
+        if len(g) == 0:
+            return g, np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+        cnts = np.diff(np.concatenate((starts, [len(g)])))
+        return g[starts], starts, cnts
+
     def kernel(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if len(left) == 0 or len(right) == 0:
             return empty
         gl, dl = postings(left)
         gr, dr = postings(right)
-        ug_l, st_l, ct_l = np.unique(gl, return_index=True, return_counts=True)
-        ug_r, st_r, ct_r = np.unique(gr, return_index=True, return_counts=True)
+        ug_l, st_l, ct_l = sorted_unique(gl)
+        ug_r, st_r, ct_r = sorted_unique(gr)
         common, il, ir = np.intersect1d(ug_l, ug_r, assume_unique=True,
                                         return_indices=True)
         if len(common) == 0:
@@ -324,11 +336,14 @@ def _make_jaccard_cell_kernel(threshold: float, pair_budget: int):
                 continue
             # Level 2 (pair-sized): expand runs; within-run offset comes
             # from one subtract instead of the old int64 divmod pair.
+            # wdt: positions inside one chunk fit int32 whenever the
+            # chunk does (tot ≤ pair_budget in the non-pathological
+            # case) — the arange and subtract then move half the bytes.
+            wdt = np.int32 if tot < 2**31 else np.int64
             run_id = np.repeat(np.arange(npost, dtype=idt), rep_elem)
-            run_offs = (np.cumsum(rep_elem, dtype=np.int64)
-                        - rep_elem).astype(np.int64)
-            within = (np.arange(tot, dtype=np.int64)
-                      - run_offs[run_id]).astype(idt)
+            run_offs = ((np.cumsum(rep_elem, dtype=np.int64)
+                         - rep_elem)).astype(wdt)
+            within = np.arange(tot, dtype=wdt) - run_offs[run_id]
             lidx = lid_small[run_id]
             ridx = dr[sj_small[run_id] + within]
             # same key values as lidx*nr+ridx in int64: kdt=int32 is only
